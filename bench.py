@@ -1,0 +1,64 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Semantics mirror the reference's throughput tests
+(EfficientViT/classification/speed_test.py:19-100 — warmup then timed
+images/s; TinyViT/main.py:458 throughput()) but on TPU: bf16 compute, jitted
+inference, batch sized for the chip.
+
+Headline: TinyViT-21M @224 eval throughput (img/s) on one chip, compared to
+the reference's published V100 number (1,571 img/s, TinyViT/README.md:55).
+
+The timed region is a single jitted lax.scan whose carry depends on each
+iteration's output, so every forward pass must actually execute on device —
+a plain python loop + block_until_ready can under-report through the remote
+device tunnel.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_V100_IMGS = 1571.0  # TinyViT-21M V100 throughput (TinyViT/README.md:55)
+
+
+def timed_throughput(apply_fn, variables, x, n_iters: int = 20) -> float:
+    """Images/sec for apply_fn(variables, x) over n_iters chained iterations."""
+
+    @jax.jit
+    def run(variables, x):
+        def body(carry, _):
+            y = apply_fn(variables, x + carry)
+            return (y.mean() * 1e-12).astype(x.dtype), None
+        carry, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None,
+                                length=n_iters)
+        return carry
+
+    jax.device_get(run(variables, x))  # compile + warmup
+    t0 = time.perf_counter()
+    jax.device_get(run(variables, x))
+    dt = time.perf_counter() - t0
+    return x.shape[0] * n_iters / dt
+
+
+def main():
+    from cream_tpu.models import create_model
+
+    batch = 256
+    model = create_model("tiny_vit_21m_224", num_classes=1000, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+
+    imgs_per_s = timed_throughput(
+        lambda v, x: model.apply(v, x), variables, x)
+
+    print(json.dumps({
+        "metric": "tinyvit21m_224_infer_throughput",
+        "value": round(imgs_per_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_s / BASELINE_V100_IMGS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Device mesh + sharding helpers.
+
+This replaces the reference's entire distributed stack (torch.distributed NCCL
+process groups, DDP wrappers, apex/horovod variants — e.g. AutoFormer/lib/utils.py:209-233,
+Cream/tools/train.py:21-27, TinyCLIP/src/training/distributed.py:23-110) with a single
+JAX device mesh. Data parallelism is expressed as a batch-axis NamedSharding and XLA
+inserts the gradient all-reduce; metric reduction is a jnp.mean under the same jit.
+
+Axes:
+  data  — batch / data parallelism (ICI within slice, DCN across slices)
+  model — tensor parallelism axis for wide layers (used by the CLIP towers'
+          contrastive gather and optionally classifier heads)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Mapping, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(axes: Mapping[str, int] | None = None,
+                devices: Sequence[jax.Device] | None = None) -> Mesh:
+    """Build a Mesh. Default: all devices on a single 'data' axis.
+
+    axes: ordered mapping axis-name -> size; total must equal device count.
+          A size of -1 means "fill with remaining devices".
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if axes is None:
+        axes = {"data": n}
+    names = list(axes.keys())
+    sizes = list(axes.values())
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = n // known
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh axes {dict(zip(names, sizes))} != {n} devices")
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, axis_names=tuple(names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for a batch-leading array: shard dim 0 over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put every leaf of a batch pytree with dim-0 sharded over `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+@functools.cache
+def default_mesh() -> Mesh:
+    return create_mesh()

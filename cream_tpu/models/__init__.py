@@ -1,0 +1,5 @@
+from cream_tpu.models import registry
+from cream_tpu.models.registry import create_model, list_models, register_model
+
+# Import model families for their registration side effects.
+from cream_tpu.models import tinyvit  # noqa: F401

@@ -1,0 +1,116 @@
+"""Core building-block modules (flax.linen), NHWC, TPU-native.
+
+These are the unified equivalents of the blocks every reference project
+re-implements: Conv2d_BN (TinyViT/models/tiny_vit.py:28-50,
+EfficientViT/classification/model/efficientvit.py:13-34), BN_Linear
+(efficientvit.py:37-60), MBConv (tiny_vit.py:84-122), the LN-prefixed MLP
+(tiny_vit.py:193-213).
+
+Conventions:
+  * images are NHWC (TPU conv layout) — never NCHW
+  * BatchNorm: momentum 0.9 (== torch momentum 0.1), eps 1e-5, batch stats in
+    the 'batch_stats' collection; train mode via `train=True` + mutable pass
+  * compute dtype can be bf16 via the `dtype` attr; params stay fp32
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cream_tpu.ops.common import drop_path
+
+Dtype = Any
+
+
+class ConvBN(nn.Module):
+    """Conv2d(bias=False) + BatchNorm, NHWC. `groups=features` gives depthwise."""
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    bn_weight_init: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        k = self.kernel_size
+        x = nn.Conv(self.features, (k, k), strides=(self.stride, self.stride),
+                    padding=[(self.padding, self.padding)] * 2,
+                    feature_group_count=self.groups, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype,
+                         scale_init=nn.initializers.constant(self.bn_weight_init),
+                         name="bn")(x)
+        return x
+
+
+class BNLinear(nn.Module):
+    """BatchNorm1d on features then Linear — the EfficientViT classifier head."""
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     kernel_init=nn.initializers.truncated_normal(0.02),
+                     name="linear")(x)
+        return x
+
+
+class MBConv(nn.Module):
+    """Inverted-residual MBConv: 1x1 expand → 3x3 depthwise → 1x1 project, all
+    Conv+BN with GELU between, residual add then GELU."""
+    features: int
+    expand_ratio: float = 4.0
+    drop_path_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        hidden = int(x.shape[-1] * self.expand_ratio)
+        shortcut = x
+        x = ConvBN(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = nn.gelu(x, approximate=False)
+        x = ConvBN(hidden, 3, 1, 1, groups=hidden, dtype=self.dtype, name="conv2")(x, train)
+        x = nn.gelu(x, approximate=False)
+        x = ConvBN(self.features, 1, bn_weight_init=0.0, dtype=self.dtype, name="conv3")(x, train)
+        if self.drop_path_rate > 0.0:
+            rng = self.make_rng("drop_path") if train else None
+            x = drop_path(x, self.drop_path_rate, deterministic=not train, rng=rng)
+        x = x + shortcut
+        return nn.gelu(x, approximate=False)
+
+
+class MlpLN(nn.Module):
+    """LayerNorm → Dense → GELU → Dense (TinyViT-style MLP with leading LN)."""
+    hidden_features: int
+    out_features: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class DropPathModule(nn.Module):
+    """Module wrapper over ops.common.drop_path for use inside linen graphs."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        rng = self.make_rng("drop_path") if (train and self.rate > 0) else None
+        return drop_path(x, self.rate, deterministic=not train, rng=rng)
