@@ -1,0 +1,172 @@
+"""Bit-compatible PyTorch checkpoint importers.
+
+Maps the reference projects' released state_dicts into this framework's flax
+variable trees so public checkpoints evaluate identically (SURVEY.md §8.3).
+Works from a plain {name: numpy array} dict — no torch required at import
+time; `load_torch_state_dict` uses torch only if a .pth file is given.
+
+Layout conversions:
+  Conv2d (O, I, kh, kw)  -> HWIO (kh, kw, I, O)   [same rule covers depthwise]
+  Linear (out, in)       -> (in, out)
+  BN/LN weight -> scale; running_mean/var -> batch_stats mean/var
+Dropped: num_batches_tracked, attention_bias_idxs buffers (recomputed
+host-side — TinyViT/models/tiny_vit.py:619-625 drops them too).
+"""
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in ckpt.items()}
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _dense(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+class _TreeBuilder:
+    def __init__(self):
+        self.params: dict = {}
+        self.batch_stats: dict = {}
+
+    def _set(self, tree: dict, path: str, value: np.ndarray):
+        keys = path.split("/")
+        for k in keys[:-1]:
+            tree = tree.setdefault(k, {})
+        tree[keys[-1]] = value
+
+    def conv_bn(self, sd: Mapping, tp: str, fp: str):
+        """torch prefix tp = module with .c and .bn children -> flax ConvBN."""
+        self._set(self.params, f"{fp}/conv/kernel", _conv(sd[f"{tp}.c.weight"]))
+        self.bn(sd, f"{tp}.bn", f"{fp}/bn")
+
+    def bn(self, sd: Mapping, tp: str, fp: str):
+        self._set(self.params, f"{fp}/scale", sd[f"{tp}.weight"])
+        self._set(self.params, f"{fp}/bias", sd[f"{tp}.bias"])
+        self._set(self.batch_stats, f"{fp}/mean", sd[f"{tp}.running_mean"])
+        self._set(self.batch_stats, f"{fp}/var", sd[f"{tp}.running_var"])
+
+    def ln(self, sd: Mapping, tp: str, fp: str):
+        self._set(self.params, f"{fp}/scale", sd[f"{tp}.weight"])
+        self._set(self.params, f"{fp}/bias", sd[f"{tp}.bias"])
+
+    def dense(self, sd: Mapping, tp: str, fp: str):
+        self._set(self.params, f"{fp}/kernel", _dense(sd[f"{tp}.weight"]))
+        if f"{tp}.bias" in sd:
+            self._set(self.params, f"{fp}/bias", sd[f"{tp}.bias"])
+
+    def conv_biased(self, sd: Mapping, tp: str, fp: str):
+        self._set(self.params, f"{fp}/kernel", _conv(sd[f"{tp}.weight"]))
+        self._set(self.params, f"{fp}/bias", sd[f"{tp}.bias"])
+
+    def raw(self, value: np.ndarray, fp: str):
+        self._set(self.params, fp, value)
+
+    def variables(self) -> dict:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def convert_tinyvit(sd: Mapping[str, np.ndarray],
+                    depths=(2, 2, 6, 2), with_head: bool = True) -> dict:
+    """TinyViT torch state_dict -> flax variables (models/tinyvit.py naming)."""
+    b = _TreeBuilder()
+    b.conv_bn(sd, "patch_embed.seq.0", "patch_embed/conv1")
+    b.conv_bn(sd, "patch_embed.seq.2", "patch_embed/conv2")
+
+    for s in range(len(depths)):
+        for i in range(depths[s]):
+            tp = f"layers.{s}.blocks.{i}"
+            fp = f"stages_{s}_{i}"
+            if s == 0:  # MBConv
+                for c in ("conv1", "conv2", "conv3"):
+                    b.conv_bn(sd, f"{tp}.{c}", f"{fp}/{c}")
+            else:       # TinyViTBlock
+                b.ln(sd, f"{tp}.attn.norm", f"{fp}/attn/norm")
+                b.dense(sd, f"{tp}.attn.qkv", f"{fp}/attn/qkv")
+                b.dense(sd, f"{tp}.attn.proj", f"{fp}/attn/proj")
+                b.raw(sd[f"{tp}.attn.attention_biases"],
+                      f"{fp}/attn/attention_biases")
+                b.conv_bn(sd, f"{tp}.local_conv", f"{fp}/local_conv")
+                b.ln(sd, f"{tp}.mlp.norm", f"{fp}/mlp/norm")
+                b.dense(sd, f"{tp}.mlp.fc1", f"{fp}/mlp/fc1")
+                b.dense(sd, f"{tp}.mlp.fc2", f"{fp}/mlp/fc2")
+        if s < len(depths) - 1:
+            for c in ("conv1", "conv2", "conv3"):
+                b.conv_bn(sd, f"layers.{s}.downsample.{c}", f"downsamples_{s}/{c}")
+
+    b.ln(sd, "norm_head", "norm_head")
+    if with_head and "head.weight" in sd:
+        b.dense(sd, "head", "head")
+    return b.variables()
+
+
+def convert_efficientvit(sd: Mapping[str, np.ndarray],
+                         depths=(1, 2, 3), num_heads=(4, 4, 4),
+                         with_head: bool = True) -> dict:
+    """EfficientViT torch state_dict -> flax variables (models/efficientvit.py).
+
+    The reference stores each stage as a flat Sequential blocks{1,2,3} where
+    stages >0 start with [pre-sandwich, PatchMerging, post-sandwich]
+    (EfficientViT/classification/model/efficientvit.py:314-332).
+    """
+    b = _TreeBuilder()
+    for j, tseq in enumerate((0, 2, 4, 6)):
+        b.conv_bn(sd, f"patch_embed.{tseq}", f"patch_embed_{j}")
+
+    def evit_block(tp: str, fp: str, nh: int):
+        b.conv_bn(sd, f"{tp}.dw0.m", f"{fp}/dw0")
+        b.conv_bn(sd, f"{tp}.ffn0.m.pw1", f"{fp}/ffn0/pw1")
+        b.conv_bn(sd, f"{tp}.ffn0.m.pw2", f"{fp}/ffn0/pw2")
+        a_t, a_f = f"{tp}.mixer.m.attn", f"{fp}/mixer/attn"
+        for i in range(nh):
+            b.conv_bn(sd, f"{a_t}.qkvs.{i}", f"{a_f}/qkv_{i}")
+            b.conv_bn(sd, f"{a_t}.dws.{i}", f"{a_f}/dw_{i}")
+        b.conv_bn(sd, f"{a_t}.proj.1", f"{a_f}/proj")
+        b.raw(sd[f"{a_t}.attention_biases"], f"{a_f}/attention_biases")
+        b.conv_bn(sd, f"{tp}.dw1.m", f"{fp}/dw1")
+        b.conv_bn(sd, f"{tp}.ffn1.m.pw1", f"{fp}/ffn1/pw1")
+        b.conv_bn(sd, f"{tp}.ffn1.m.pw2", f"{fp}/ffn1/pw2")
+
+    for s in range(len(depths)):
+        seq = f"blocks{s + 1}"
+        off = 0
+        if s > 0:
+            # pre-sandwich at the old width
+            b.conv_bn(sd, f"{seq}.0.0.m", f"subsamples_{s-1}/pre_dw")
+            b.conv_bn(sd, f"{seq}.0.1.m.pw1", f"subsamples_{s-1}/pre_ffn/pw1")
+            b.conv_bn(sd, f"{seq}.0.1.m.pw2", f"subsamples_{s-1}/pre_ffn/pw2")
+            # PatchMerging with SE
+            mp = f"subsamples_{s-1}/merge"
+            b.conv_bn(sd, f"{seq}.1.conv1", f"{mp}/conv1")
+            b.conv_bn(sd, f"{seq}.1.conv2", f"{mp}/conv2")
+            b.conv_biased(sd, f"{seq}.1.se.conv_reduce", f"{mp}/se/fc1")
+            b.conv_biased(sd, f"{seq}.1.se.conv_expand", f"{mp}/se/fc2")
+            b.conv_bn(sd, f"{seq}.1.conv3", f"{mp}/conv3")
+            # post-sandwich at the new width
+            b.conv_bn(sd, f"{seq}.2.0.m", f"subsamples_{s-1}/post_dw")
+            b.conv_bn(sd, f"{seq}.2.1.m.pw1", f"subsamples_{s-1}/post_ffn/pw1")
+            b.conv_bn(sd, f"{seq}.2.1.m.pw2", f"subsamples_{s-1}/post_ffn/pw2")
+            off = 3
+        for i in range(depths[s]):
+            evit_block(f"{seq}.{off + i}", f"stages_{s}_{i}", num_heads[s])
+
+    if with_head and "head.l.weight" in sd:
+        b.bn(sd, "head.bn", "head/bn")
+        b.dense(sd, "head.l", "head/linear")
+        if "head_dist.l.weight" in sd:
+            b.bn(sd, "head_dist.bn", "head_dist/bn")
+            b.dense(sd, "head_dist.l", "head_dist/linear")
+    return b.variables()

@@ -1,0 +1,108 @@
+"""Load reference PyTorch models as *test oracles* (never imported by the
+framework itself). timm isn't installed, so a minimal stub provides the few
+symbols the reference model files import.
+
+The stub's SqueezeExcite mirrors real timm (conv_reduce/conv_expand names,
+make_divisible rounding) so state_dict layouts match released checkpoints.
+"""
+import importlib.util
+import sys
+import types
+
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def _make_divisible(v, divisor=8, min_value=None):
+    min_value = min_value or divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _DropPath(nn.Module):
+    def __init__(self, drop_prob=None):
+        super().__init__()
+        self.drop_prob = drop_prob
+
+    def forward(self, x):
+        if not self.training or not self.drop_prob:
+            return x
+        keep = 1 - self.drop_prob
+        mask = torch.rand(x.shape[0], *([1] * (x.ndim - 1))) < keep
+        return x * mask / keep
+
+
+class _SqueezeExcite(nn.Module):
+    def __init__(self, channels, rd_ratio=1 / 16, rd_channels=None, rd_divisor=8,
+                 **kw):
+        super().__init__()
+        if rd_channels is None:
+            rd_channels = _make_divisible(channels * rd_ratio, rd_divisor)
+        self.conv_reduce = nn.Conv2d(channels, rd_channels, 1, bias=True)
+        self.act1 = nn.ReLU(inplace=True)
+        self.conv_expand = nn.Conv2d(rd_channels, channels, 1, bias=True)
+        self.gate = nn.Sigmoid()
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(self.act1(self.conv_reduce(s)))
+        return x * self.gate(s)
+
+
+def _to_2tuple(x):
+    return x if isinstance(x, tuple) else (x, x)
+
+
+def install_timm_stub():
+    if "timm" in sys.modules:
+        return
+    timm = types.ModuleType("timm")
+    timm.__version__ = "0.9.0"
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+    layers.DropPath = _DropPath
+    layers.to_2tuple = _to_2tuple
+    layers.trunc_normal_ = nn.init.trunc_normal_
+    layers.SqueezeExcite = _SqueezeExcite
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda f: f
+    vit = types.ModuleType("timm.models.vision_transformer")
+    vit.trunc_normal_ = nn.init.trunc_normal_
+    builder = types.ModuleType("timm.models._builder")
+
+    def build_model_with_cfg(cls, variant, pretrained, pretrained_cfg=None,
+                             pretrained_filter_fn=None, **kwargs):
+        assert not pretrained, "oracle models are random-init only"
+        return cls(**kwargs)
+
+    builder.build_model_with_cfg = build_model_with_cfg
+    models.layers = layers
+    models.registry = registry
+    models.vision_transformer = vit
+    models._builder = builder
+    timm.models = models
+    sys.modules.update({
+        "timm": timm, "timm.models": models, "timm.models.layers": layers,
+        "timm.models.registry": registry,
+        "timm.models.vision_transformer": vit, "timm.models._builder": builder,
+    })
+
+
+def load_ref_module(relpath: str, name: str):
+    """Import a reference .py file as a standalone module (timm stubbed)."""
+    install_timm_stub()
+    spec = importlib.util.spec_from_file_location(name, f"{REFERENCE}/{relpath}")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def state_dict_numpy(model) -> dict:
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
