@@ -113,6 +113,48 @@ def convert_tinyvit(sd: Mapping[str, np.ndarray],
     return b.variables()
 
 
+def convert_deit_rpe(sd: Mapping[str, np.ndarray], depth: int = 12,
+                     with_head: bool = True) -> dict:
+    """DeiT(+iRPE) torch state_dict -> flax variables (models/deit_rpe.py).
+
+    Covers plain DeiT and the ctx-product rpe_{k,q,v} lookup tables
+    (iRPE/DeiT-with-iRPE/rpe_vision_transformer.py naming).
+    """
+    b = _TreeBuilder()
+    b.raw(sd["cls_token"], "cls_token")
+    b.raw(sd["pos_embed"], "pos_embed")
+    if "dist_token" in sd:
+        b.raw(sd["dist_token"], "dist_token")
+    b.raw(_conv(sd["patch_embed.proj.weight"]), "patch_embed/kernel")
+    b.raw(sd["patch_embed.proj.bias"], "patch_embed/bias")
+    for i in range(depth):
+        tp, fp = f"blocks.{i}", f"blocks_{i}"
+        b.ln(sd, f"{tp}.norm1", f"{fp}/norm1")
+        b.dense(sd, f"{tp}.attn.qkv", f"{fp}/attn/qkv")
+        b.dense(sd, f"{tp}.attn.proj", f"{fp}/attn/proj")
+        for r in ("rpe_q", "rpe_k", "rpe_v"):
+            key = f"{tp}.attn.{r}.lookup_table_weight"
+            if key in sd:
+                b.raw(sd[key], f"{fp}/attn/{r}/lookup_table_weight")
+            key = f"{tp}.attn.{r}.lookup_table_bias"
+            if key in sd:
+                b.raw(sd[key], f"{fp}/attn/{r}/lookup_table_bias")
+            # cross method stores rp_rows/rp_cols children
+            for sub in ("rp_rows", "rp_cols"):
+                key = f"{tp}.attn.{r}.{sub}.lookup_table_weight"
+                if key in sd:
+                    b.raw(sd[key], f"{fp}/attn/{r}/{sub}/lookup_table_weight")
+        b.ln(sd, f"{tp}.norm2", f"{fp}/norm2")
+        b.dense(sd, f"{tp}.mlp.fc1", f"{fp}/mlp_fc1")
+        b.dense(sd, f"{tp}.mlp.fc2", f"{fp}/mlp_fc2")
+    b.ln(sd, "norm", "norm")
+    if with_head and "head.weight" in sd:
+        b.dense(sd, "head", "head")
+        if "head_dist.weight" in sd:
+            b.dense(sd, "head_dist", "head_dist")
+    return b.variables()
+
+
 def convert_efficientvit(sd: Mapping[str, np.ndarray],
                          depths=(1, 2, 3), num_heads=(4, 4, 4),
                          with_head: bool = True) -> dict:

@@ -59,6 +59,39 @@ def _to_2tuple(x):
     return x if isinstance(x, tuple) else (x, x)
 
 
+class _Mlp(nn.Module):
+    """timm 0.3.2 Mlp: fc1 -> GELU -> drop -> fc2 -> drop."""
+
+    def __init__(self, in_features, hidden_features=None, out_features=None,
+                 act_layer=nn.GELU, drop=0.0):
+        super().__init__()
+        out_features = out_features or in_features
+        hidden_features = hidden_features or in_features
+        self.fc1 = nn.Linear(in_features, hidden_features)
+        self.act = act_layer()
+        self.fc2 = nn.Linear(hidden_features, out_features)
+        self.drop = nn.Dropout(drop)
+
+    def forward(self, x):
+        return self.drop(self.fc2(self.drop(self.act(self.fc1(x)))))
+
+
+class _PatchEmbed(nn.Module):
+    """timm 0.3.2 PatchEmbed: conv proj then flatten tokens."""
+
+    def __init__(self, img_size=224, patch_size=16, in_chans=3, embed_dim=768):
+        super().__init__()
+        img_size = _to_2tuple(img_size)
+        patch_size = _to_2tuple(patch_size)
+        self.num_patches = (img_size[0] // patch_size[0]) * \
+            (img_size[1] // patch_size[1])
+        self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size,
+                              stride=patch_size)
+
+    def forward(self, x):
+        return self.proj(x).flatten(2).transpose(1, 2)
+
+
 def install_timm_stub():
     if "timm" in sys.modules:
         return
@@ -74,6 +107,18 @@ def install_timm_stub():
     registry.register_model = lambda f: f
     vit = types.ModuleType("timm.models.vision_transformer")
     vit.trunc_normal_ = nn.init.trunc_normal_
+    vit._cfg = lambda url="", **kw: dict(url=url, **kw)
+    vit.default_cfgs = {}
+    vit.Mlp = _Mlp
+    vit.PatchEmbed = _PatchEmbed
+    vit.HybridEmbed = None  # only referenced when hybrid_backbone is used
+    data = types.ModuleType("timm.data")
+    data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    helpers = types.ModuleType("timm.models.helpers")
+    helpers.load_pretrained = lambda *a, **k: None
+    resnet = types.ModuleType("timm.models.resnet")
+    resnet.resnet26d = resnet.resnet50d = lambda *a, **k: None
     builder = types.ModuleType("timm.models._builder")
 
     def build_model_with_cfg(cls, variant, pretrained, pretrained_cfg=None,
@@ -86,11 +131,16 @@ def install_timm_stub():
     models.registry = registry
     models.vision_transformer = vit
     models._builder = builder
+    models.helpers = helpers
+    models.resnet = resnet
     timm.models = models
+    timm.data = data
     sys.modules.update({
         "timm": timm, "timm.models": models, "timm.models.layers": layers,
         "timm.models.registry": registry,
         "timm.models.vision_transformer": vit, "timm.models._builder": builder,
+        "timm.models.helpers": helpers, "timm.models.resnet": resnet,
+        "timm.data": data,
     })
 
 
