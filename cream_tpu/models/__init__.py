@@ -5,3 +5,4 @@ from cream_tpu.models.registry import create_model, list_models, register_model
 from cream_tpu.models import tinyvit  # noqa: F401
 from cream_tpu.models import efficientvit  # noqa: F401
 from cream_tpu.models import deit_rpe  # noqa: F401
+from cream_tpu.models import autoformer  # noqa: F401
