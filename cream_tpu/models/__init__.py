@@ -6,3 +6,4 @@ from cream_tpu.models import tinyvit  # noqa: F401
 from cream_tpu.models import efficientvit  # noqa: F401
 from cream_tpu.models import deit_rpe  # noqa: F401
 from cream_tpu.models import autoformer  # noqa: F401
+from cream_tpu.models import clip  # noqa: F401

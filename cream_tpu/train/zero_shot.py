@@ -1,0 +1,58 @@
+"""Zero-shot ImageNet classification for CLIP models.
+
+Rebuild of TinyCLIP/src/training/zero_shot.py: build a classifier from
+class-name/template text embeddings (template-averaged, L2-normalized), then
+top-1/top-5 over image embeddings. The reference shards the classifier build
+across ranks then all_gathers (:50-62); here the text forward is one jitted
+batched call — the mesh shards it automatically when templates*classes is
+large.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# the 80 OpenAI prompt templates are public constants; a minimal high-signal
+# subset is bundled, callers can pass the full list
+DEFAULT_TEMPLATES = (
+    "a photo of a {}.",
+    "a photo of the {}.",
+    "a bad photo of a {}.",
+    "a photo of many {}.",
+    "a close-up photo of a {}.",
+    "a black and white photo of a {}.",
+    "itap of a {}.",
+    "a low resolution photo of a {}.",
+)
+
+
+def build_zero_shot_classifier(encode_text_fn, tokenizer, classnames,
+                               templates=DEFAULT_TEMPLATES,
+                               batch_size: int = 64) -> jnp.ndarray:
+    """-> (embed_dim, num_classes) classifier, template-averaged + normalized."""
+    weights = []
+    for i in range(0, len(classnames), batch_size):
+        chunk = classnames[i:i + batch_size]
+        texts = [t.format(c) for c in chunk for t in templates]
+        tokens = tokenizer(texts)
+        emb = encode_text_fn(jnp.asarray(tokens))            # (C*T, D) normalized
+        emb = emb.reshape(len(chunk), len(templates), -1).mean(axis=1)
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        weights.append(emb)
+    return jnp.concatenate(weights, axis=0).T                # (D, C)
+
+
+def zero_shot_eval(encode_image_fn, classifier: jnp.ndarray, batches) -> dict:
+    """batches yield {'image': NHWC, 'label': (B,)}; returns top1/top5 (%)."""
+    top1 = top5 = n = 0
+    for batch in batches:
+        feats = encode_image_fn(batch["image"])              # (B, D) normalized
+        logits = feats @ classifier                           # (B, C)
+        labels = np.asarray(batch["label"])
+        pred5 = np.asarray(jax.lax.top_k(logits, 5)[1])
+        top1 += int((pred5[:, 0] == labels).sum())
+        top5 += int((pred5 == labels[:, None]).any(-1).sum())
+        n += len(labels)
+    return {"zeroshot_top1": 100.0 * top1 / max(n, 1),
+            "zeroshot_top5": 100.0 * top5 / max(n, 1), "n": n}
