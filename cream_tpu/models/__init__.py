@@ -7,3 +7,6 @@ from cream_tpu.models import efficientvit  # noqa: F401
 from cream_tpu.models import deit_rpe  # noqa: F401
 from cream_tpu.models import autoformer  # noqa: F401
 from cream_tpu.models import clip  # noqa: F401
+from cream_tpu.models import swin  # noqa: F401
+from cream_tpu.models import mini_deit  # noqa: F401
+from cream_tpu.models import cream  # noqa: F401
