@@ -10,3 +10,4 @@ from cream_tpu.models import clip  # noqa: F401
 from cream_tpu.models import swin  # noqa: F401
 from cream_tpu.models import mini_deit  # noqa: F401
 from cream_tpu.models import cream  # noqa: F401
+from cream_tpu.models import darts  # noqa: F401
