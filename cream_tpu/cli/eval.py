@@ -1,0 +1,72 @@
+"""Evaluation CLI: top-1/top-5 of a model (optionally from a torch checkpoint).
+
+Replaces the per-project eval entries (AutoFormerV2/evaluation.py,
+Cream/tools/test.py, EfficientViT eval mode, TinyViT --eval):
+
+    python -m cream_tpu.cli.eval model.name=tiny_vit_21m_224 \
+        data.data_path=/data/imagenet [--torch-ckpt tiny_vit_21m_22kto1k.pth]
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from cream_tpu.core.config import Config
+from cream_tpu.core.mesh import create_mesh, shard_batch
+from cream_tpu.cli.train import build_dataset
+from cream_tpu.data.imagenet import eval_loader
+from cream_tpu.models import create_model
+from cream_tpu.train import TrainState, make_eval_step, topk_accuracy_counts
+import optax
+
+
+def load_variables(cfg: Config, model, torch_ckpt: str | None):
+    if torch_ckpt:
+        from cream_tpu.zoo import (convert_deit_rpe, convert_efficientvit,
+                                   convert_tinyvit, load_torch_state_dict)
+        sd = load_torch_state_dict(torch_ckpt)
+        name = cfg.model.name
+        if name.startswith("tiny_vit"):
+            return convert_tinyvit(sd)
+        if name.startswith("efficientvit"):
+            return convert_efficientvit(sd)
+        if name.startswith("deit") or name.startswith("mini_deit"):
+            return convert_deit_rpe(sd)
+        raise ValueError(f"no torch importer wired for {name}")
+    x0 = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3))
+    return jax.jit(model.init)(jax.random.key(0), x0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None)
+    ap.add_argument("--torch-ckpt", default=None)
+    ap.add_argument("opts", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = Config.from_yaml(args.cfg, args.opts)
+
+    mesh = create_mesh()
+    dtype = getattr(jnp, cfg.model.dtype)
+    model = create_model(cfg.model.name, num_classes=cfg.model.num_classes,
+                         dtype=dtype, **cfg.model.extra)
+    variables = load_variables(cfg, model, args.torch_ckpt)
+    state = TrainState.create(params=variables["params"],
+                              tx=optax.identity(),
+                              batch_stats=variables.get("batch_stats", {}))
+    eval_step = make_eval_step(model, mesh=mesh)
+    ds = build_dataset(cfg, train=False)
+    results = []
+    for b in eval_loader(ds, cfg.data.batch_size, cfg.data.img_size,
+                         cfg.data.crop, num_workers=cfg.data.num_workers):
+        sb = shard_batch(mesh, {"image": jnp.asarray(b["image"], dtype),
+                                "label": jnp.asarray(b["label"])})
+        results.append(jax.device_get(eval_step(state, sb)))
+    acc = topk_accuracy_counts(results)
+    print(f"acc@1={acc['acc1']:.3f} acc@5={acc['acc5']:.3f} n={acc['n']}")
+    return acc
+
+
+if __name__ == "__main__":
+    main()

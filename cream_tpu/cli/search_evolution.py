@@ -1,0 +1,103 @@
+"""AutoFormer evolution search CLI (AutoFormer/evolution.py equivalent).
+
+    python -m cream_tpu.cli.search_evolution --space tiny \
+        data.dataset=synthetic data.batch_size=64 \
+        --param-min 5e6 --param-max 7e6 --epochs 5
+
+Candidate fitness = top-1 of the masked supernet on the (sub-sampled) val
+set; zero retraces across candidates (the masked supernet compiles once).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from cream_tpu.core.config import Config
+from cream_tpu.core.mesh import create_mesh, shard_batch
+from cream_tpu.cli.train import build_dataset
+from cream_tpu.data.imagenet import eval_loader
+from cream_tpu.models import create_model
+from cream_tpu.models.autoformer import (
+    SPACES, config_param_count, encode_config, sample_config)
+from cream_tpu.nas.evolution import (
+    EvolutionSearcher, autoformer_crossover, autoformer_mutate)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None)
+    ap.add_argument("--space", default="tiny", choices=list(SPACES))
+    ap.add_argument("--param-min", type=float, default=0)
+    ap.add_argument("--param-max", type=float, default=1e12)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--population", type=int, default=50)
+    ap.add_argument("--max-eval-batches", type=int, default=20)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--out", default="evolution_result.json")
+    ap.add_argument("opts", nargs="*")
+    args = ap.parse_args(argv)
+    cfg = Config.from_yaml(args.cfg, args.opts)
+
+    mesh = create_mesh()
+    space = SPACES[args.space]
+    dtype = getattr(jnp, cfg.model.dtype)
+    model = create_model(f"autoformer_supernet_{args.space}",
+                         num_classes=cfg.model.num_classes, dtype=dtype)
+
+    import numpy as np
+    x0 = jnp.zeros((cfg.data.batch_size, cfg.data.img_size,
+                    cfg.data.img_size, 3), dtype)
+    c0 = encode_config(sample_config(np.random.default_rng(0), space), space)
+    variables = jax.jit(model.init)(jax.random.key(0), x0, c0)
+    # TODO: restore supernet weights from a training checkpoint when given
+
+    ds = build_dataset(cfg, train=False)
+    batches = []
+    for i, b in enumerate(eval_loader(ds, cfg.data.batch_size,
+                                      cfg.data.img_size, cfg.data.crop)):
+        if i >= args.max_eval_batches:
+            break
+        batches.append(shard_batch(mesh, {
+            "image": jnp.asarray(b["image"], dtype),
+            "label": jnp.asarray(b["label"])}))
+
+    @jax.jit
+    def acc_fn(variables, batch, enc):
+        logits = model.apply(variables, batch["image"], enc)
+        valid = batch["label"] >= 0
+        correct = (logits.argmax(-1) == batch["label"]) & valid
+        return correct.sum(), valid.sum()
+
+    def eval_fn(config):
+        enc = encode_config(config, space)
+        c = n = 0
+        for b in batches:
+            ci, ni = acc_fn(variables, b, enc)
+            c += int(ci)
+            n += int(ni)
+        return c / max(n, 1)
+
+    searcher = EvolutionSearcher(
+        sample_fn=lambda rng: sample_config(rng, space),
+        eval_fn=eval_fn,
+        mutate_fn=lambda rng, c: autoformer_mutate(rng, c, space),
+        crossover_fn=autoformer_crossover,
+        is_legal_extra=lambda c: args.param_min <= config_param_count(c)
+        <= args.param_max,
+        population_num=args.population, max_epochs=args.epochs)
+    if args.resume and os.path.exists(args.resume):
+        searcher.load_state_dict(json.load(open(args.resume)))
+    top = searcher.search()
+    with open(args.out, "w") as f:
+        json.dump({"top": [(s, c) for s, c in top],
+                   "state": searcher.state_dict()}, f, default=str)
+    print("best:", top[0])
+    return top
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""ImageNet-style datasets + loaders (host-side, thread-pooled).
+
+Covers the reference's data layer capabilities (SURVEY.md §1 cross-cutting):
+  * ImageFolder directories (every project)
+  * zip-cached ImageNet (MiniViT/Mini-Swin/data/{zipreader,cached_image_folder}
+    — read JPEG bytes straight out of a .zip with a member index)
+  * deterministic seeded train augs (data/det_aug.py) for the distillation
+    logits pipeline
+  * synthetic data for smoke tests / benchmarking without the dataset
+Batches are numpy NHWC dicts {image, label, index, seed} ready for
+device_put onto the mesh.
+"""
+from __future__ import annotations
+
+import io
+import os
+import threading
+import zipfile
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+from PIL import Image
+
+from cream_tpu.data.det_aug import sample_seed, train_transform
+from cream_tpu.data.transforms import EvalPreprocess, eval_preprocess_config, preprocess_pil
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+class ZipReader:
+    """Thread-safe JPEG-from-zip reader (MiniViT zipreader.py capability)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._local = threading.local()
+
+    def _zf(self) -> zipfile.ZipFile:
+        if not hasattr(self._local, "zf"):
+            self._local.zf = zipfile.ZipFile(self.path, "r")
+        return self._local.zf
+
+    def namelist(self) -> list[str]:
+        return self._zf().namelist()
+
+    def read_image(self, name: str) -> Image.Image:
+        return Image.open(io.BytesIO(self._zf().read(name)))
+
+
+class ImageFolder:
+    """(path, class_id) listing from class-subdirectory layout."""
+
+    def __init__(self, root: str, class_to_idx: dict | None = None):
+        self.root = root
+        classes = sorted(d for d in os.listdir(root)
+                         if os.path.isdir(os.path.join(root, d)))
+        self.class_to_idx = class_to_idx or {c: i for i, c in enumerate(classes)}
+        self.samples: list[tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for f in sorted(os.listdir(cdir)):
+                if f.lower().endswith(IMG_EXTS):
+                    self.samples.append((os.path.join(cdir, f),
+                                         self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load(self, i: int) -> tuple[Image.Image, int]:
+        path, label = self.samples[i]
+        return Image.open(path), label
+
+
+class ZipImageFolder:
+    """ImageFolder over a zip archive: members named class/img.jpeg."""
+
+    def __init__(self, zip_path: str):
+        self.reader = ZipReader(zip_path)
+        names = [n for n in self.reader.namelist()
+                 if n.lower().endswith(IMG_EXTS)]
+        classes = sorted({n.split("/")[0] for n in names})
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples = [(n, self.class_to_idx[n.split("/")[0]])
+                        for n in sorted(names)]
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load(self, i: int) -> tuple[Image.Image, int]:
+        name, label = self.samples[i]
+        return self.reader.read_image(name), label
+
+
+class SyntheticDataset:
+    """Deterministic random images; for smoke tests and throughput harnesses."""
+
+    def __init__(self, n: int = 1024, img_size: int = 224, num_classes: int = 1000):
+        self.n, self.img_size, self.num_classes = n, img_size, num_classes
+
+    def __len__(self):
+        return self.n
+
+    def load(self, i: int):
+        rng = np.random.default_rng(i)
+        arr = rng.integers(0, 256, (self.img_size, self.img_size, 3),
+                           dtype=np.uint8)
+        return Image.fromarray(arr), int(rng.integers(self.num_classes))
+
+
+def eval_loader(dataset, batch_size: int, img_size: int = 224,
+                crop: bool = True, clip_norm: bool = False,
+                num_workers: int = 8, pad_final: bool = True
+                ) -> Iterator[dict]:
+    """Deterministic eval batches; final partial batch padded with label=-1
+    (the eval step masks them), so shapes stay static under jit."""
+    cfg = eval_preprocess_config(img_size, crop=crop, clip=clip_norm)
+
+    def load_one(i):
+        img, label = dataset.load(i)
+        return preprocess_pil(img, cfg), label
+
+    n = len(dataset)
+    with ThreadPoolExecutor(num_workers) as pool:
+        for start in range(0, n, batch_size):
+            idx = list(range(start, min(start + batch_size, n)))
+            results = list(pool.map(load_one, idx))
+            images = np.stack([r[0] for r in results])
+            labels = np.asarray([r[1] for r in results], np.int32)
+            index = np.asarray(idx, np.int32)
+            if pad_final and len(idx) < batch_size:
+                pad = batch_size - len(idx)
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+                labels = np.concatenate([labels, -np.ones(pad, np.int32)])
+                index = np.concatenate([index, -np.ones(pad, np.int32)])
+            yield {"image": images, "label": labels, "index": index}
+
+
+def train_loader(dataset, batch_size: int, epoch: int, base_seed: int = 0,
+                 img_size: int = 224, num_workers: int = 8,
+                 shuffle: bool = True, drop_last: bool = True,
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)
+                 ) -> Iterator[dict]:
+    """Seeded training batches. Every sample carries its aug seed so saved
+    teacher logits can be replayed (TinyViT distillation semantics)."""
+    n = len(dataset)
+    order = np.arange(n)
+    if shuffle:
+        np.random.default_rng(base_seed + epoch).shuffle(order)
+
+    def load_one(i):
+        img, label = dataset.load(int(i))
+        seed = sample_seed(base_seed, epoch, int(i))
+        return train_transform(img, seed, img_size, mean, std), label, seed
+
+    end = n - (n % batch_size) if drop_last else n
+    with ThreadPoolExecutor(num_workers) as pool:
+        for start in range(0, end, batch_size):
+            idx = order[start:start + batch_size]
+            results = list(pool.map(load_one, idx))
+            yield {
+                "image": np.stack([r[0] for r in results]),
+                "label": np.asarray([r[1] for r in results], np.int32),
+                "index": np.asarray(idx, np.int32),
+                "seed": np.asarray([r[2] for r in results], np.int32),
+            }

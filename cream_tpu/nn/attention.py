@@ -16,9 +16,18 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cream_tpu.ops.common import attention_bias_indices
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu",) or \
+            "TPU" in str(jax.devices()[0])
+    except Exception:
+        return False
 
 
 class BiasAttention(nn.Module):
@@ -27,6 +36,7 @@ class BiasAttention(nn.Module):
     num_heads: int
     attn_ratio: float = 4.0
     resolution: tuple[int, int] = (7, 7)
+    use_pallas: bool = True        # fused kernel on the inference path
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -45,11 +55,21 @@ class BiasAttention(nn.Module):
         qkv = nn.Dense(h * (2 * kd + d), dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, h, 2 * kd + d)
         q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
+        bias_tab = biases[:, idxs]                         # (h, N, N)
 
-        attn = jnp.einsum("bnhk,bmhk->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * (kd ** -0.5)
-        attn = attn + biases[:, idxs][None].astype(attn.dtype)
-        attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+        from cream_tpu.ops.pallas.bias_attention import (
+            fused_bias_attention, supports_shape)
+        if self.use_pallas and not train and supports_shape(N) and _on_tpu():
+            # fused kernel: the (B, h, N, N) attention matrix never leaves VMEM
+            out = fused_bias_attention(q.transpose(0, 2, 1, 3),
+                                       k.transpose(0, 2, 1, 3),
+                                       v.transpose(0, 2, 1, 3), bias_tab)
+            out = out.transpose(0, 2, 1, 3)                # (B, N, h, d)
+        else:
+            attn = jnp.einsum("bnhk,bmhk->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * (kd ** -0.5)
+            attn = attn + bias_tab[None].astype(attn.dtype)
+            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(B, N, h * d)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
