@@ -28,12 +28,13 @@ class LogitsWriter:
     """Random-access writer; safe for a single process per epoch-file.
 
     The reference pushes packed bytes through an async writer process
-    (manager.py:6-63); here writes are O(1)-seek numpy memmap stores, which
-    overlap with TPU compute without extra processes.
+    (manager.py:6-63); here the pack+pwrite hot path runs in the native C++
+    codec (native/logits_codec.cc, thread-sharded) when built, with a numpy
+    memmap fallback.
     """
 
     def __init__(self, root: str, epoch: int, num_samples: int, topk: int,
-                 num_classes: int):
+                 num_classes: int, use_native: bool = True):
         os.makedirs(root, exist_ok=True)
         self.topk = topk
         self.num_classes = num_classes
@@ -50,31 +51,51 @@ class LogitsWriter:
         else:
             with open(meta_path, "w") as f:
                 json.dump(meta, f)
-        self._mm = np.memmap(bin_path, dtype=np.uint8, mode="w+",
-                             shape=(num_samples * self.record_size,))
+        if self.num_classes > np.iinfo(np.int16).max:
+            raise ValueError("num_classes exceeds int16 index range")
+
+        total = num_samples * self.record_size
+        from cream_tpu.distill import native
+        self._native = use_native and native.available()
+        if self._native:
+            self._fd = os.open(bin_path, os.O_RDWR | os.O_CREAT, 0o644)
+            os.ftruncate(self._fd, total)
+            self._mm = None
+        else:
+            self._fd = None
+            self._mm = np.memmap(bin_path, dtype=np.uint8, mode="w+",
+                                 shape=(total,))
 
     def write_batch(self, sample_indices: np.ndarray, seeds: np.ndarray,
                     values: np.ndarray, class_indices: np.ndarray):
         """values: (B, K) float probs; class_indices: (B, K) int; seeds (B,)."""
         K = self.topk
         B = len(sample_indices)
+        if self._native:
+            from cream_tpu.distill import native
+            native.pack_write(self._fd, np.asarray(values, np.float32),
+                              np.asarray(class_indices, np.int32),
+                              np.asarray(seeds, np.int32),
+                              np.asarray(sample_indices, np.int64))
+            return
         rec = np.empty((B, self.record_size), dtype=np.uint8)
         rec[:, :4] = np.asarray(seeds, "<i4").view(np.uint8).reshape(B, 4)
         rec[:, 4:4 + 2 * K] = np.asarray(values, "<f2").view(np.uint8).reshape(B, -1)
-        if self.num_classes > np.iinfo(np.int16).max:
-            raise ValueError("num_classes exceeds int16 index range")
         rec[:, 4 + 2 * K:] = np.asarray(class_indices, "<i2").view(np.uint8).reshape(B, -1)
         for i, idx in enumerate(np.asarray(sample_indices)):
             off = int(idx) * self.record_size
             self._mm[off:off + self.record_size] = rec[i]
 
     def close(self):
-        self._mm.flush()
-        del self._mm
+        if self._native:
+            os.close(self._fd)
+        else:
+            self._mm.flush()
+            del self._mm
 
 
 class LogitsReader:
-    def __init__(self, root: str, epoch: int):
+    def __init__(self, root: str, epoch: int, use_native: bool = True):
         bin_path, meta_path = _paths(root, epoch)
         with open(meta_path) as f:
             meta = json.load(f)
@@ -82,13 +103,23 @@ class LogitsReader:
         self.num_classes = meta["num_classes"]
         self.num_samples = meta["num_samples"]
         self.record_size = meta["record_size"]
-        self._mm = np.memmap(bin_path, dtype=np.uint8, mode="r")
+        from cream_tpu.distill import native
+        self._native = use_native and native.available()
+        if self._native:
+            self._fd = os.open(bin_path, os.O_RDONLY)
+            self._mm = None
+        else:
+            self._fd = None
+            self._mm = np.memmap(bin_path, dtype=np.uint8, mode="r")
 
     def read_batch(self, sample_indices: np.ndarray
                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """-> (values (B,K) f32, class_indices (B,K) i32, seeds (B,) i32)."""
         K = self.topk
         idx = np.asarray(sample_indices, np.int64)
+        if self._native:
+            from cream_tpu.distill import native
+            return native.read_unpack(self._fd, idx, K)
         recs = np.stack([
             self._mm[i * self.record_size:(i + 1) * self.record_size]
             for i in idx])

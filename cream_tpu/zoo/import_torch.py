@@ -68,6 +68,13 @@ class _TreeBuilder:
         if f"{tp}.bias" in sd:
             self._set(self.params, f"{fp}/bias", sd[f"{tp}.bias"])
 
+    def dense_from(self, weight: np.ndarray, bias, fp: str):
+        """Dense from explicit (out, in) weight / bias arrays (e.g. torch
+        MultiheadAttention's in_proj_weight)."""
+        self._set(self.params, f"{fp}/kernel", _dense(weight))
+        if bias is not None:
+            self._set(self.params, f"{fp}/bias", bias)
+
     def conv_biased(self, sd: Mapping, tp: str, fp: str):
         self._set(self.params, f"{fp}/kernel", _conv(sd[f"{tp}.weight"]))
         self._set(self.params, f"{fp}/bias", sd[f"{tp}.bias"])
@@ -153,6 +160,143 @@ def convert_deit_rpe(sd: Mapping[str, np.ndarray], depth: int = 12,
         if "head_dist.weight" in sd:
             b.dense(sd, "head_dist", "head_dist")
     return b.variables()
+
+
+def convert_swin(sd: Mapping[str, np.ndarray], depths=(2, 2, 6, 2),
+                 with_head: bool = True) -> dict:
+    """Swin / S3 torch state_dict -> flax variables (models/swin.py naming).
+
+    Covers the standard Swin layout and AutoFormerV2's SSS models (same
+    structure, AutoFormerV2/model/SSS.py): layers.{s}.blocks.{i}.* with
+    relative_position_bias_table, and layers.{s}.downsample.{reduction,norm}.
+    relative_position_index buffers are dropped (recomputed host-side).
+    """
+    b = _TreeBuilder()
+    b.raw(_conv(sd["patch_embed.proj.weight"]), "patch_embed/proj/kernel")
+    b.raw(sd["patch_embed.proj.bias"], "patch_embed/proj/bias")
+    b.ln(sd, "patch_embed.norm", "patch_embed/norm")
+    for s in range(len(depths)):
+        for i in range(depths[s]):
+            tp, fp = f"layers.{s}.blocks.{i}", f"layers_{s}_block_{i}"
+            b.ln(sd, f"{tp}.norm1", f"{fp}/norm1")
+            b.dense(sd, f"{tp}.attn.qkv", f"{fp}/attn/qkv")
+            b.dense(sd, f"{tp}.attn.proj", f"{fp}/attn/proj")
+            b.raw(sd[f"{tp}.attn.relative_position_bias_table"],
+                  f"{fp}/attn/relative_position_bias_table")
+            b.ln(sd, f"{tp}.norm2", f"{fp}/norm2")
+            b.dense(sd, f"{tp}.mlp.fc1", f"{fp}/mlp/fc1")
+            b.dense(sd, f"{tp}.mlp.fc2", f"{fp}/mlp/fc2")
+        dkey = f"layers.{s}.downsample"
+        if f"{dkey}.reduction.weight" in sd:
+            b.ln(sd, f"{dkey}.norm", f"layers_{s}_downsample/norm")
+            b.dense(sd, f"{dkey}.reduction", f"layers_{s}_downsample/reduction")
+    b.ln(sd, "norm", "norm")
+    if with_head and "head.weight" in sd:
+        b.dense(sd, "head", "head")
+    return b.variables()
+
+
+def convert_mini_swin(sd: Mapping[str, np.ndarray], depths=(2, 2, 6, 2),
+                      share_num: int = 2, with_head: bool = True) -> dict:
+    """Mini-Swin torch state_dict -> flax (models/swin.py MiniSwin naming).
+
+    Shared attn/mlp per physical block + per-repeat norm lists, proj_l/proj_w
+    transforms and local convs (swin_transformer_minivit.py:200-344)."""
+    b = _TreeBuilder()
+    b.raw(_conv(sd["patch_embed.proj.weight"]), "patch_embed/proj/kernel")
+    b.raw(sd["patch_embed.proj.bias"], "patch_embed/proj/bias")
+    b.ln(sd, "patch_embed.norm", "patch_embed/norm")
+    for s in range(len(depths)):
+        share = min(share_num, depths[s])
+        n_blocks = depths[s] // share
+        for i in range(n_blocks):
+            tp, fp = f"layers.{s}.blocks.{i}", f"layers_{s}_block_{i}"
+            b.dense(sd, f"{tp}.attn.qkv", f"{fp}/attn/qkv")
+            b.dense(sd, f"{tp}.attn.proj", f"{fp}/attn/proj")
+            b.raw(sd[f"{tp}.attn.relative_position_bias_table"],
+                  f"{fp}/attn/relative_position_bias_table")
+            b.dense(sd, f"{tp}.mlp.fc1", f"{fp}/mlp/fc1")
+            b.dense(sd, f"{tp}.mlp.fc2", f"{fp}/mlp/fc2")
+            for r in range(share):
+                b.ln(sd, f"{tp}.norm1_list.{r}", f"{fp}/norm1_list_{r}")
+                b.ln(sd, f"{tp}.norm2_list.{r}", f"{fp}/norm2_list_{r}")
+                b.dense(sd, f"{tp}.proj_l.{r}", f"{fp}/proj_l_{r}")
+                b.dense(sd, f"{tp}.proj_w.{r}", f"{fp}/proj_w_{r}")
+                if f"{tp}.local_norm_list.{r}.weight" in sd:
+                    b.ln(sd, f"{tp}.local_norm_list.{r}",
+                         f"{fp}/local_norm_list_{r}")
+                    b.raw(_conv(sd[f"{tp}.local_conv_list.{r}.weight"]),
+                          f"{fp}/local_conv_list_{r}/kernel")
+                    b.raw(sd[f"{tp}.local_conv_list.{r}.bias"],
+                          f"{fp}/local_conv_list_{r}/bias")
+        dkey = f"layers.{s}.downsample"
+        if f"{dkey}.reduction.weight" in sd:
+            b.ln(sd, f"{dkey}.norm", f"layers_{s}_downsample/norm")
+            b.dense(sd, f"{dkey}.reduction", f"layers_{s}_downsample/reduction")
+    b.ln(sd, "norm", "norm")
+    if with_head and "head.weight" in sd:
+        b.dense(sd, "head", "head")
+    return b.variables()
+
+
+def convert_clip(sd: Mapping[str, np.ndarray], vision_layers: int = 12,
+                 text_layers: int = 12) -> dict:
+    """open_clip/TinyCLIP CLIP state_dict -> flax (models/clip.py naming).
+
+    Expects the modern layout: visual.*, transformer.resblocks.*,
+    token_embedding, ln_final, text_projection, logit_scale. The three
+    historical layouts are normalized first by `normalize_clip_layout`."""
+    sd = normalize_clip_layout(sd)
+    b = _TreeBuilder()
+
+    def block(tp, fp):
+        b.ln(sd, f"{tp}.ln_1", f"{fp}/ln_1")
+        b.dense_from(sd[f"{tp}.attn.in_proj_weight"],
+                     sd.get(f"{tp}.attn.in_proj_bias"), f"{fp}/attn/in_proj")
+        b.dense(sd, f"{tp}.attn.out_proj", f"{fp}/attn/out_proj")
+        b.ln(sd, f"{tp}.ln_2", f"{fp}/ln_2")
+        b.dense(sd, f"{tp}.mlp.c_fc", f"{fp}/c_fc")
+        b.dense(sd, f"{tp}.mlp.c_proj", f"{fp}/c_proj")
+
+    b.raw(_conv(sd["visual.conv1.weight"]), "visual/conv1/kernel")
+    b.raw(sd["visual.class_embedding"], "visual/class_embedding")
+    b.raw(sd["visual.positional_embedding"], "visual/positional_embedding")
+    b.ln(sd, "visual.ln_pre", "visual/ln_pre")
+    for i in range(vision_layers):
+        block(f"visual.transformer.resblocks.{i}",
+              f"visual/transformer/resblocks_{i}")
+    b.ln(sd, "visual.ln_post", "visual/ln_post")
+    b.raw(sd["visual.proj"], "visual/proj")
+
+    b.raw(sd["token_embedding.weight"], "text/token_embedding/embedding")
+    b.raw(sd["positional_embedding"], "text/positional_embedding")
+    for i in range(text_layers):
+        block(f"transformer.resblocks.{i}", f"text/transformer/resblocks_{i}")
+    b.ln(sd, "ln_final", "text/ln_final")
+    b.raw(sd["text_projection"], "text/text_projection")
+    b.raw(sd["logit_scale"].reshape(()), "logit_scale")
+    return b.variables()
+
+
+def normalize_clip_layout(sd: Mapping[str, np.ndarray]) -> dict:
+    """Normalize TinyCLIP's historical checkpoint layouts
+    (model.py convert_to_new_checkpoint :1115-1160): strip DDP 'module.',
+    map '_image_encoder.module.*' -> 'visual.*' and
+    '_text_encoder.module.*' -> text-side top-level keys."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith("_image_encoder."):
+            k = k.replace("_image_encoder.", "", 1)
+            if k.startswith("module."):
+                k = "visual." + k[len("module."):]
+        elif k.startswith("_text_encoder."):
+            k = k.replace("_text_encoder.", "", 1)
+            if k.startswith("module."):
+                k = k[len("module."):]
+        out[k] = v
+    return out
 
 
 def convert_efficientvit(sd: Mapping[str, np.ndarray],
