@@ -88,7 +88,13 @@ def main(argv=None):
         start_epoch = (extra or {}).get("epoch", 0) + 1
         print(f"auto-resumed from step {step} (epoch {start_epoch})")
 
-    train_step = make_train_step(model, loss_fn=soft_target_ce, mesh=mesh)
+    distill = cfg.distill.enabled and cfg.distill.teacher_logits_path
+    if distill:
+        from cream_tpu.distill.pipeline import make_distill_train_step
+        train_step = make_distill_train_step(model, cfg.model.num_classes,
+                                             mesh=mesh)
+    else:
+        train_step = make_train_step(model, loss_fn=soft_target_ce, mesh=mesh)
     eval_step = make_eval_step(model, mesh=mesh)
 
     rng = jax.random.key(cfg.train.seed)
@@ -96,11 +102,28 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.train.epochs):
         logger = MetricLogger()
         t0 = time.time()
+        reader = None
+        if distill:
+            from cream_tpu.distill import LogitsReader
+            reader = LogitsReader(cfg.distill.teacher_logits_path, epoch)
         for i, batch in enumerate(train_loader(
                 train_ds, cfg.data.batch_size, epoch, cfg.train.seed,
                 cfg.data.img_size, cfg.data.num_workers)):
             mix_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + i)
             images = jnp.asarray(batch["image"], dtype)
+            if distill:
+                vals, idxs, seeds = reader.read_batch(batch["index"])
+                assert (seeds == batch["seed"]).all(), \
+                    "stored aug seeds diverge from the loader's"
+                sb = shard_batch(mesh, {
+                    "image": images,
+                    "topk_values": jnp.asarray(vals),
+                    "topk_indices": jnp.asarray(idxs)})
+                state, metrics = train_step(state, sb, rng)
+                logger.update(**{k: float(v) for k, v in metrics.items()})
+                if i % 50 == 0:
+                    print(f"epoch {epoch} [{i}/{steps_per_epoch}] {logger}")
+                continue
             if cfg.aug.mixup > 0 or cfg.aug.cutmix > 0:
                 images, targets = mixup_cutmix(
                     mix_rng, images, jnp.asarray(batch["label"]),

@@ -84,6 +84,7 @@ class TestPrioritizedBoard:
         assert (arch == 2).all() and len(arch) == 20
 
 
+@pytest.mark.slow
 class TestCreamTraining:
     def test_kd_train_step_and_meta_update(self):
         model = CreamSupernet(num_classes=4, stages=((24, 2, 2), (40, 2, 2)))

@@ -19,6 +19,7 @@ def small_search_net():
     return SearchCNN(num_classes=4, C=8, n_layers=4, n_nodes=3)
 
 
+@pytest.mark.slow
 class TestSearchCNN:
     def test_forward_and_alpha_grad(self):
         model = small_search_net()
@@ -73,6 +74,7 @@ class TestGenotype:
         assert out.shape == (2, 4) and bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 class TestCyclicSearch:
     def test_l1_reg_targets_paramfree_ops(self):
         e = n_alpha_edges(4)
