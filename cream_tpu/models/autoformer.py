@@ -35,6 +35,7 @@ from cream_tpu.nn.elastic import (
     ElasticDense, ElasticLayerNorm, prefix_mask, slice_dense,
     slice_layernorm, slice_qkv_interleaved)
 from cream_tpu.ops.common import drop_path
+from cream_tpu.nn.act import gelu
 
 Dtype = Any
 HEAD_DIM = 64  # change_qkv fixes per-head dim at 64 (supernet_transformer.py:166)
@@ -233,7 +234,7 @@ class ElasticEncoderLayer(nn.Module):
                              name="ffn_layer_norm")(x, emb_active)
         h = ElasticDense(self.super_embed, self.super_ffn, dtype=self.dtype,
                          name="fc1")(h, emb_active, ffn_active)
-        h = nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = ElasticDense(self.super_ffn, self.super_embed, dtype=self.dtype,
                          name="fc2")(h, ffn_active, emb_active)
         rng = self.make_rng("drop_path") if (train and self.drop_path_rate > 0) else None
@@ -373,7 +374,7 @@ class AutoFormerSubnet(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name=f"blocks_{i}_ffn_layer_norm")(x)
             h = nn.Dense(ffn, dtype=self.dtype, name=f"blocks_{i}_fc1")(h)
-            h = nn.gelu(h, approximate=False)
+            h = gelu(h)
             h = nn.Dense(E, dtype=self.dtype, name=f"blocks_{i}_fc2")(h)
             x = res + h
 

@@ -107,8 +107,8 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x, attn_mask=None, hidden_z=None, heads_z=None,
                  mha_z=None, intermediate_z=None, ffn_z=None):
-        act = quick_gelu if self.act == "quick_gelu" else \
-            (lambda t: nn.gelu(t, approximate=False))
+        from cream_tpu.nn.act import gelu as _gelu
+        act = quick_gelu if self.act == "quick_gelu" else _gelu
         h = MaskedLayerNorm(self.width, dtype=self.dtype, name="ln_1")(x, hidden_z)
         h = GatedAttention(self.width, self.heads, head_dim=self.head_dim,
                            dtype=self.dtype,

@@ -22,6 +22,7 @@ from cream_tpu.models.registry import register_model
 from cream_tpu.nn.rpe import IRPE
 from cream_tpu.ops.common import drop_path
 from cream_tpu.ops.rpe import RPEConfig, get_rpe_config
+from cream_tpu.nn.act import gelu
 
 Dtype = Any
 
@@ -87,7 +88,7 @@ class RPEBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         rng = self.make_rng("drop_path") if (train and self.drop_path_rate > 0) else None
         return x + drop_path(h, self.drop_path_rate, not train, rng)

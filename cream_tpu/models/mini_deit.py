@@ -20,6 +20,7 @@ from cream_tpu.models.registry import register_model
 from cream_tpu.nn.rpe import IRPE
 from cream_tpu.ops.common import drop_path
 from cream_tpu.ops.rpe import get_rpe_config
+from cream_tpu.nn.act import gelu
 
 Dtype = Any
 
@@ -84,7 +85,7 @@ class MiniDeiTBlock(nn.Module):
             x = res + drop_path(out, dpr, not train, rng)
 
             t = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm2_{r}")(x)
-            t = fc2(nn.gelu(fc1(t), approximate=False))
+            t = fc2(gelu(fc1(t)))
             rng = self.make_rng("drop_path") if (train and dpr > 0) else None
             x = x + drop_path(t, dpr, not train, rng)
         return x

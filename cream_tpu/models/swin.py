@@ -23,6 +23,7 @@ from cream_tpu.models.registry import register_model
 from cream_tpu.nn.swin import (
     SwinPatchEmbed, SwinPatchMerging, SwinWindowAttention, swin_attend)
 from cream_tpu.ops.common import drop_path
+from cream_tpu.nn.act import gelu
 
 Dtype = Any
 
@@ -35,7 +36,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 

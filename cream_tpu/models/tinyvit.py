@@ -23,6 +23,7 @@ from cream_tpu.nn.attention import BiasAttention
 from cream_tpu.nn.layers import ConvBN, MBConv, MlpLN
 from cream_tpu.ops.common import drop_path
 from cream_tpu.ops.window import window_partition, window_reverse
+from cream_tpu.nn.act import gelu
 
 Dtype = Any
 
@@ -35,7 +36,7 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = ConvBN(self.embed_dim // 2, 3, 2, 1, dtype=self.dtype, name="conv1")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = ConvBN(self.embed_dim, 3, 2, 1, dtype=self.dtype, name="conv2")(x, train)
         return x
 
@@ -48,9 +49,9 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = ConvBN(self.out_dim, 1, dtype=self.dtype, name="conv1")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = ConvBN(self.out_dim, 3, 2, 1, groups=self.out_dim, dtype=self.dtype, name="conv2")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = ConvBN(self.out_dim, 1, dtype=self.dtype, name="conv3")(x, train)
         return x
 

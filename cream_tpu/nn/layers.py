@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cream_tpu.ops.common import drop_path
+from cream_tpu.nn.act import gelu
 
 Dtype = Any
 
@@ -77,15 +78,15 @@ class MBConv(nn.Module):
         hidden = int(x.shape[-1] * self.expand_ratio)
         shortcut = x
         x = ConvBN(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = ConvBN(hidden, 3, 1, 1, groups=hidden, dtype=self.dtype, name="conv2")(x, train)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = ConvBN(self.features, 1, bn_weight_init=0.0, dtype=self.dtype, name="conv3")(x, train)
         if self.drop_path_rate > 0.0:
             rng = self.make_rng("drop_path") if train else None
             x = drop_path(x, self.drop_path_rate, deterministic=not train, rng=rng)
         x = x + shortcut
-        return nn.gelu(x, approximate=False)
+        return gelu(x)
 
 
 class MlpLN(nn.Module):
@@ -99,7 +100,7 @@ class MlpLN(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = gelu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)

@@ -27,25 +27,30 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float,
             tile_w: int):
     # statically-unrolled 2D dots per window: Mosaic compiles plain (N, d)
-    # matmuls orders of magnitude faster than batched 3D dot_generals
+    # matmuls orders of magnitude faster than batched 3D dot_generals.
+    # Inputs stay in their native dtype (bf16 rides the MXU at full rate);
+    # accumulation and softmax run in fp32.
     bias = bias_ref[0].astype(jnp.float32)       # (N, N)
     for t in range(tile_w):
-        q = q_ref[t, 0].astype(jnp.float32)      # (N, dk)
-        k = k_ref[t, 0].astype(jnp.float32)
-        v = v_ref[t, 0].astype(jnp.float32)
+        q = q_ref[t, 0]                          # (N, dk) native dtype
+        k = k_ref[t, 0]
+        v = v_ref[t, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         out_ref[t, 0] = o.astype(out_ref.dtype)
 
 
 def supports_shape(N: int) -> bool:
-    """Mosaic compile time explodes for N > 128 on this toolchain (window-14
-    stages, N=196, took minutes); those shapes use the jnp path."""
+    """Use the fused kernel only where it beats XLA (measured on v5e):
+    small windows (N<=128), where HBM round-trips of the attention matrix
+    dominate. At N=196 XLA's batched bf16 GEMMs win — the per-window 2D dots
+    under-fill the MXU and lane padding (196->256) wastes 30% compute."""
     return N <= 128
 
 
@@ -56,10 +61,26 @@ def fused_bias_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """q,k: (W, h, N, dk); v: (W, h, N, dv); bias: (h, N, N) -> (W, h, N, dv).
 
     Scale is dk**-0.5 (applied inside). W is padded to the window tile.
+
+    Token counts over 128 are padded up to a lane multiple (padded key columns
+    get -1e9 bias so softmax ignores them; padded query rows are sliced off).
+    Without this, Mosaic compile time explodes on misaligned N (N=196 took
+    minutes; padded to 256 it compiles in ~1s).
     """
     W, h, N, dk = q.shape
     dv = v.shape[-1]
     scale = dk ** -0.5
+
+    N_orig = N
+    if N > 128 and N % 128 != 0:
+        Np = (-(-N // 128)) * 128
+        padn = Np - N
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, padn), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, padn), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, padn), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, padn), (0, padn)),
+                       constant_values=-1e9)
+        N = Np
 
     # pick a window tile that keeps several windows per program without
     # overflowing VMEM. Account for TPU tiling: sublanes pad to 8, lanes to
@@ -97,4 +118,4 @@ def fused_bias_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(q, k, v, bias)
-    return out[:W]
+    return out[:W, :, :N_orig]
