@@ -99,6 +99,12 @@ def main(argv=None):
 
     rng = jax.random.key(cfg.train.seed)
     max_acc = 0.0
+    nan_count = 0
+    tb_writer = None
+    if cfg.train.tensorboard:
+        import tensorflow as tf
+        tb_writer = tf.summary.create_file_writer(
+            f"{cfg.output}/{cfg.model.name}/{cfg.tag}/tb")
     for epoch in range(start_epoch, cfg.train.epochs):
         logger = MetricLogger()
         t0 = time.time()
@@ -134,7 +140,22 @@ def main(argv=None):
                                          cfg.model.num_classes)
             sb = shard_batch(mesh, {"image": images, "label": targets})
             state, metrics = train_step(state, sb, rng)
+            loss_val = float(metrics["loss"])
+            if not np.isfinite(loss_val):
+                nan_count += 1
+                print(f"WARNING: non-finite loss ({nan_count}/"
+                      f"{cfg.train.nan_budget})")
+                if nan_count > cfg.train.nan_budget:
+                    raise FloatingPointError(
+                        "NaN-loss budget exhausted — aborting (see "
+                        "train.nan_budget)")
             logger.update(**{k: float(v) for k, v in metrics.items()})
+            if tb_writer is not None and i % 20 == 0:
+                import tensorflow as tf
+                with tb_writer.as_default():
+                    for k, v in metrics.items():
+                        tf.summary.scalar(f"train/{k}", float(v),
+                                          step=int(state.step))
             if i % 50 == 0:
                 print(f"epoch {epoch} [{i}/{steps_per_epoch}] {logger} "
                       f"lr={float(sched(state.step)):.2e}")

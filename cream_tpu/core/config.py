@@ -94,6 +94,10 @@ class TrainConfig:
     accumulation_steps: int = 1
     auto_resume: bool = True
     seed: int = 0
+    # NaN-loss policy: 0 = exit on first NaN (AutoFormer supernet_engine.py:
+    # 87-89); N>0 tolerates a budget like TinyCLIP (train.py:86 NAN_LOSS_CNT)
+    nan_budget: int = 10
+    tensorboard: bool = False
 
 
 @dataclass

@@ -173,6 +173,75 @@ class MetaMatchingHead(nn.Module):
         return nn.Dense(1, name="fc2")(x).reshape(())
 
 
+class CreamChildNet(nn.Module):
+    """Fixed-genotype retrain/deploy model (Cream/lib/models/structures/
+    childnet.py): the supernet body with exactly one op per layer."""
+    arch: tuple                      # per-layer op ids, -1 = skipped
+    num_classes: int = 1000
+    stem_chs: int = 16
+    num_features: int = 1280
+    stages: Sequence = SEARCH_STAGES
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.stem_chs, 3, 2, 1, dtype=self.dtype, name="conv_stem")(x, train)
+        x = swish(x)
+        x = DepthwiseSeparable(16, dtype=self.dtype, name="blocks_0")(x, train)
+        li = 0
+        for s, (chs, depth, stride) in enumerate(self.stages):
+            for i in range(depth):
+                op = self.arch[li]
+                if op >= 0:
+                    k, e = CHOICES[op]
+                    x = InvertedResidual(chs, k, e, stride if i == 0 else 1,
+                                         dtype=self.dtype,
+                                         name=f"stage_{s}_layer_{i}")(x, train)
+                li += 1
+        x = InvertedResidual(320, 1, 6, 1, dtype=self.dtype,
+                             name="blocks_tail")(x, train)
+        x = x.mean(axis=(1, 2), keepdims=True)
+        x = nn.Conv(self.num_features, (1, 1), use_bias=True, dtype=self.dtype,
+                    name="conv_head")(x)
+        x = swish(x).reshape(x.shape[0], -1)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(x)
+
+
+def extract_childnet(variables: dict, arch, num_classes: int = 1000,
+                     stages=SEARCH_STAGES, dtype=jnp.float32
+                     ) -> tuple[CreamChildNet, dict]:
+    """Copy the chosen choice's parameters out of a trained supernet into a
+    fixed CreamChildNet (physically drops the other five choices per layer)."""
+    import numpy as np
+
+    arch = [int(a) for a in np.asarray(arch).ravel()]
+
+    def take(tree):
+        out_p, out_s = {}, {}
+        for coll, dst in (("params", out_p), ("batch_stats", out_s)):
+            src = tree.get(coll, {})
+            for key, sub in src.items():
+                if key.startswith("stage_"):
+                    _, s, _, i = key.split("_")
+                    li = sum(d for _, d, _ in stages[:int(s)]) + int(i)
+                    if arch[li] < 0:
+                        continue
+                    dst[key] = sub[f"choice_{arch[li]}"]
+                else:
+                    dst[key] = sub
+        return {"params": out_p, "batch_stats": out_s}
+
+    model = CreamChildNet(arch=tuple(arch), num_classes=num_classes,
+                          stages=stages, dtype=dtype)
+    return model, take(variables)
+
+
 @register_model
 def cream_supernet(num_classes: int = 1000, dtype=jnp.float32, **kw):
     return CreamSupernet(num_classes=num_classes, dtype=dtype, **kw)
+
+
+@register_model
+def cream_childnet(arch, num_classes: int = 1000, dtype=jnp.float32, **kw):
+    return CreamChildNet(arch=tuple(arch), num_classes=num_classes,
+                         dtype=dtype, **kw)

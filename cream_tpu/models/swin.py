@@ -126,6 +126,7 @@ class MiniSwinBlock(nn.Module):
     is_sep_layernorm: bool = True
     is_transform_heads: bool = True
     is_transform_ffn: bool = True
+    capture_distill: bool = False   # sow qkv + hidden states for MiniViT KD
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -134,6 +135,7 @@ class MiniSwinBlock(nn.Module):
         ws = min(self.window, H, W)
         # shared weights (created once)
         attn = SwinWindowAttention(self.dim, ws, self.num_heads,
+                                   sow_qkv=self.capture_distill,
                                    dtype=self.dtype, name="attn")
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
                   name="mlp")
@@ -172,6 +174,10 @@ class MiniSwinBlock(nn.Module):
             h = mlp(norm2(x))
             rng = self.make_rng("drop_path") if (train and dpr > 0) else None
             x = x + drop_path(h, dpr, not train, rng)
+            if self.capture_distill:
+                # per-repeat hidden states for cal_hidden_relation_loss
+                # (Mini-Swin/main.py:66-77)
+                self.sow("intermediates", "hidden", x.reshape(B, H * W, C))
             is_shift = not is_shift
         return x
 
@@ -191,6 +197,7 @@ class MiniSwin(nn.Module):
     is_sep_layernorm: bool = True
     is_transform_heads: bool = True
     is_transform_ffn: bool = True
+    capture_distill: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -213,6 +220,7 @@ class MiniSwin(nn.Module):
                                   is_sep_layernorm=self.is_sep_layernorm,
                                   is_transform_heads=self.is_transform_heads,
                                   is_transform_ffn=self.is_transform_ffn,
+                                  capture_distill=self.capture_distill,
                                   dtype=self.dtype,
                                   name=f"layers_{s}_block_{b}")(x, train)
             if s < len(self.depths) - 1:

@@ -69,6 +69,7 @@ class SwinWindowAttention(nn.Module):
     num_heads: int
     head_dim: Optional[int] = None
     qkv_bias: bool = True
+    sow_qkv: bool = False     # expose qkv for MiniViT relation distillation
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -81,6 +82,10 @@ class SwinWindowAttention(nn.Module):
         qkv = nn.Dense(3 * h * d, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(Bn, N, 3, h, d).transpose(2, 0, 3, 1, 4)
+        if self.sow_qkv:
+            # (3, B_windows, heads, N, d) for cal_relation_loss
+            # (MiniViT/Mini-Swin/models/swin_transformer_minivit_distill.py:291-300)
+            self.sow("intermediates", "qkv_states", qkv)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)

@@ -50,7 +50,12 @@ class _TreeBuilder:
 
     def conv_bn(self, sd: Mapping, tp: str, fp: str):
         """torch prefix tp = module with .c and .bn children -> flax ConvBN."""
-        self._set(self.params, f"{fp}/conv/kernel", _conv(sd[f"{tp}.c.weight"]))
+        w = sd[f"{tp}.c.weight"]
+        if w.ndim == 2:
+            # EfficientViT released ckpts store some 1x1 convs as 2-D
+            # (model/build.py:76-83 broadcasts d[k][:, :, None, None])
+            w = w[:, :, None, None]
+        self._set(self.params, f"{fp}/conv/kernel", _conv(w))
         self.bn(sd, f"{tp}.bn", f"{fp}/bn")
 
     def bn(self, sd: Mapping, tp: str, fp: str):

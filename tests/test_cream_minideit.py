@@ -58,6 +58,21 @@ class TestCreamSupernet:
         assert arch_flops(arch_skip, table) < f
 
 
+class TestChildNet:
+    def test_extraction_parity(self):
+        from cream_tpu.models.cream import extract_childnet
+        model = CreamSupernet(num_classes=7, stages=((24, 2, 2), (40, 2, 2)))
+        arch = np.array([0, -1, 3, 5], np.int32)
+        x = jax.random.normal(jax.random.key(0), (2, 64, 64, 3))
+        v = jit_init(model, x, jnp.asarray(arch))
+        want = model.apply(v, x, jnp.asarray(arch))
+        child, cv = extract_childnet(v, arch, num_classes=7,
+                                     stages=((24, 2, 2), (40, 2, 2)))
+        got = child.apply(cv, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+        assert n_params(cv["params"]) < n_params(v["params"])
+
+
 class TestPrioritizedBoard:
     def test_update_rules(self):
         b = PrioritizedBoard(pool_size=2, acc_gap=5.0, meta_sta_epoch=1)
