@@ -148,12 +148,17 @@ class CLIPTransformer(nn.Module):
     heads: Sequence[int]            # per-layer
     mlp_widths: Sequence[int]       # per-layer
     act: str = "gelu"
+    remat: bool = False             # rematerialize blocks under AD — replaces
+                                    # TinyCLIP's grad-cache (SURVEY.md §2.3)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, attn_mask=None, masks: Optional[dict] = None):
+        block_cls = nn.remat(ResidualAttentionBlock,
+                             static_argnums=()) if self.remat \
+            else ResidualAttentionBlock
         for i in range(self.layers):
-            x = ResidualAttentionBlock(
+            x = block_cls(
                 self.width, self.heads[i], self.mlp_widths[i], self.act,
                 dtype=self.dtype, name=f"resblocks_{i}")(
                     x, attn_mask, **_layer_gates(masks, i))
@@ -169,6 +174,7 @@ class VisionTower(nn.Module):
     mlp_widths: Sequence[int] | None = None
     output_dim: int = 512
     act: str = "gelu"
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -196,7 +202,7 @@ class VisionTower(nn.Module):
             x = x * hz.astype(self.dtype)
         x = MaskedLayerNorm(W, dtype=self.dtype, name="ln_pre")(x, hz)
         x = CLIPTransformer(W, self.layers, tuple(heads), tuple(mlps),
-                            self.act, dtype=self.dtype,
+                            self.act, remat=self.remat, dtype=self.dtype,
                             name="transformer")(x, masks=masks)
         x = MaskedLayerNorm(W, dtype=self.dtype, name="ln_post")(x[:, 0], hz)
         proj = self.param("proj", nn.initializers.normal(W ** -0.5),
@@ -216,6 +222,7 @@ class TextTower(nn.Module):
     mlp_widths: Sequence[int] | None = None
     output_dim: int = 512
     act: str = "gelu"
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -235,7 +242,8 @@ class TextTower(nn.Module):
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
         hz = masks.get("hidden_z") if masks else None
         x = CLIPTransformer(W, self.layers, tuple(heads), tuple(mlps),
-                            self.act, dtype=self.dtype, name="transformer")(
+                            self.act, remat=self.remat, dtype=self.dtype,
+                            name="transformer")(
                                 x, attn_mask=causal, masks=masks)
         x = MaskedLayerNorm(W, dtype=self.dtype, name="ln_final")(x, hz)
         # pool at the EOT token (highest token id — model.py:796)
@@ -270,6 +278,7 @@ class CLIP(nn.Module):
     vision_mlp_widths: Sequence[int] | None = None
     text_heads_per_layer: Sequence[int] | None = None
     text_mlp_widths: Sequence[int] | None = None
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -279,13 +288,15 @@ class CLIP(nn.Module):
             image_size=c.image_size, patch_size=c.vision_patch,
             width=c.vision_width, layers=c.vision_layers,
             heads=self.vision_heads, mlp_widths=self.vision_mlp_widths,
-            output_dim=c.embed_dim, act=act, dtype=self.dtype)
+            output_dim=c.embed_dim, act=act, remat=self.remat,
+            dtype=self.dtype)
         self.text = TextTower(
             context_length=c.context_length, vocab_size=c.vocab_size,
             width=c.text_width, layers=c.text_layers,
             heads=self.text_heads_per_layer or [c.text_heads] * c.text_layers,
             mlp_widths=self.text_mlp_widths,
-            output_dim=c.embed_dim, act=act, dtype=self.dtype)
+            output_dim=c.embed_dim, act=act, remat=self.remat,
+            dtype=self.dtype)
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(np.log(1 / 0.07), jnp.float32))
 
