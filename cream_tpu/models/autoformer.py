@@ -124,6 +124,25 @@ def config_param_count(config: dict, num_classes: int = 1000,
     return n
 
 
+def config_flops(config: dict, img_size: int = 224, patch_size: int = 16,
+                 num_classes: int = 1000) -> int:
+    """Analytic MACs of a subnet (get_complexity,
+    supernet_transformer.py:142-146) for FLOPs-constrained search."""
+    emb = config["embed_dim"][0]
+    n_tok = (img_size // patch_size) ** 2 + 1
+    macs = (img_size // patch_size) ** 2 * emb * 3 * patch_size ** 2  # patch
+    for i in range(config["layer_num"]):
+        heads = config["num_heads"][i]
+        qd = heads * HEAD_DIM
+        ffn = int(emb * config["mlp_ratio"][i])
+        macs += n_tok * emb * 3 * qd          # qkv
+        macs += n_tok * n_tok * qd * 2        # qk^T + av
+        macs += n_tok * qd * emb              # proj
+        macs += n_tok * emb * ffn * 2         # fc1 + fc2
+    macs += emb * num_classes
+    return macs
+
+
 # ------------------------------------------------------- relative position 2D
 
 @functools.lru_cache(maxsize=None)

@@ -41,6 +41,12 @@ class TestSampling:
         n = config_param_count(AUTOFORMER_T)
         assert abs(n / 1e6 - 5.8) < 0.2, n
 
+    def test_flops_autoformer_t(self):
+        # AutoFormer-T is published at ~1.3 GMACs
+        from cream_tpu.models.autoformer import config_flops
+        g = config_flops(AUTOFORMER_T) / 1e9
+        assert 1.1 < g < 1.5, g
+
 
 class TestMaskedVsSliced:
     def test_supernet_matches_extracted_subnet(self):
