@@ -196,3 +196,15 @@ class TestMetrics:
             {"correct1": 7, "correct5": 10, "n": 10, "loss_sum": 8.0},
         ])
         assert out["acc1"] == 60.0 and out["acc5"] == 95.0 and out["n"] == 20
+
+
+@pytest.mark.slow
+class TestGraftEntry:
+    def test_dryrun_multichip_inprocess(self):
+        """The driver's multi-chip signal: with >=8 devices available (conftest
+        provisions 8 virtual CPU devices) the body runs in-process."""
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)
