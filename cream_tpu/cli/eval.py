@@ -24,17 +24,8 @@ import optax
 
 def load_variables(cfg: Config, model, torch_ckpt: str | None):
     if torch_ckpt:
-        from cream_tpu.zoo import (convert_deit_rpe, convert_efficientvit,
-                                   convert_tinyvit, load_torch_state_dict)
-        sd = load_torch_state_dict(torch_ckpt)
-        name = cfg.model.name
-        if name.startswith("tiny_vit"):
-            return convert_tinyvit(sd)
-        if name.startswith("efficientvit"):
-            return convert_efficientvit(sd)
-        if name.startswith("deit") or name.startswith("mini_deit"):
-            return convert_deit_rpe(sd)
-        raise ValueError(f"no torch importer wired for {name}")
+        from cream_tpu.zoo import load_model_variables
+        return load_model_variables(cfg.model.name, torch_ckpt)
     x0 = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3))
     return jax.jit(model.init)(jax.random.key(0), x0)
 

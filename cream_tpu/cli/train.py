@@ -98,6 +98,15 @@ def main(argv=None):
     eval_step = make_eval_step(model, mesh=mesh)
 
     rng = jax.random.key(cfg.train.seed)
+
+    @jax.jit
+    def mix_fn(seeds, images):
+        from cream_tpu.data.mixup import seeded_pair_mixup
+        return seeded_pair_mixup(
+            seeds, images, jnp.zeros((images.shape[0],), jnp.int32),
+            cfg.model.num_classes, cfg.aug.mixup, cfg.aug.cutmix,
+            cfg.aug.mixup_switch_prob, cfg.aug.label_smoothing)
+
     max_acc = 0.0
     nan_count = 0
     tb_writer = None
@@ -121,6 +130,11 @@ def main(argv=None):
                 vals, idxs, seeds = reader.read_batch(batch["index"])
                 assert (seeds == batch["seed"]).all(), \
                     "stored aug seeds diverge from the loader's"
+                if cfg.aug.mixup > 0 or cfg.aug.cutmix > 0:
+                    # replay the seeded pair mixup the save_logits pass
+                    # applied to the teacher (TinyViT/main.py:310-311) —
+                    # same seeds => identical pixels
+                    images, _ = mix_fn(jnp.asarray(seeds), images)
                 sb = shard_batch(mesh, {
                     "image": images,
                     "topk_values": jnp.asarray(vals),

@@ -312,6 +312,29 @@ class CLIP(nn.Module):
         return img, txt, jnp.exp(self.logit_scale)
 
 
+class CLIPClassifier(nn.Module):
+    """CLIP vision tower + linear classification head — the TinyViT
+    distillation teacher (TinyViT/models/clip.py:108-158; built for
+    model_type 'clip_vit_large14_224' in TinyViT/models/build.py:28-35).
+    Logits = head(proj(features)); with a 22k head the caller applies the
+    22k->1k remap (zoo/remap.py) like save_logits.py:30-31."""
+    cfg: CLIPConfig = CLIPConfig()
+    num_classes: int = 1000
+    quick_gelu: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, train: bool = False):
+        c = self.cfg
+        act = "quick_gelu" if self.quick_gelu else "gelu"
+        feats = VisionTower(
+            image_size=c.image_size, patch_size=c.vision_patch,
+            width=c.vision_width, layers=c.vision_layers,
+            output_dim=c.embed_dim, act=act, dtype=self.dtype,
+            name="visual")(image)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(feats)
+
+
 def _prune_tower(params: dict, masks: dict, layers: int, head_dim: int,
                  is_text: bool) -> tuple[dict, list[int], list[int], int]:
     """Materialize one tower's pruned params (reference per-module .prune():
@@ -470,3 +493,26 @@ def _make_factory(name, cfg):
 
 for _name, _cfg in _CLIP_CONFIGS.items():
     register_model(_make_factory(_name, _cfg))
+
+
+# classification-teacher variants (vision tower + head). The large/14 config
+# mirrors TinyViT/models/build.py:29-34 (embed_dim 768, width 1024, 24 layers).
+_CLIP_CLASSIFIER_CONFIGS = {
+    "clip_vit_b_16_classifier": _CLIP_CONFIGS["clip_vit_b_16"],
+    "clip_vit_b_32_classifier": _CLIP_CONFIGS["clip_vit_b_32"],
+    "clip_vit_large14_224_classifier": CLIPConfig(
+        embed_dim=768, vision_width=1024, vision_layers=24, vision_patch=14),
+}
+
+
+def _make_classifier_factory(name, cfg):
+    def factory(num_classes: int = 1000, quick_gelu: bool = False,
+                dtype=jnp.float32, **kw):
+        return CLIPClassifier(cfg=cfg, num_classes=num_classes,
+                              quick_gelu=quick_gelu, dtype=dtype, **kw)
+    factory.__name__ = name
+    return factory
+
+
+for _name, _cfg in _CLIP_CLASSIFIER_CONFIGS.items():
+    register_model(_make_classifier_factory(_name, _cfg))

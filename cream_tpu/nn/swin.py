@@ -121,16 +121,24 @@ def swin_attend(x, attn_mod, window: int, shift: int, mask_hw=None,
     B, H, W, C = x.shape
     window = min(window, H, W)
     shift = 0 if window >= min(H, W) else shift
+    # Pad to a window multiple BEFORE rolling/masking (the reference pads
+    # first — Swin/SSS F.pad then roll — so at non-divisible resolutions the
+    # shift mask is computed on the padded grid, not the raw one).
+    Hp, Wp = -(-H // window) * window, -(-W // window) * window
+    if (Hp, Wp) != (H, W):
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
     if shift > 0:
         x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-        mask = shifted_window_mask(H, W, window, shift)
+        mask = shifted_window_mask(Hp, Wp, window, shift)
     else:
         mask = None
     wx, padded = window_partition(x, window)
     wx = attn_mod(wx, mask=mask, proj_l=proj_l, proj_w=proj_w)
-    x = window_reverse(wx, window, padded, (H, W))
+    x = window_reverse(wx, window, padded, (Hp, Wp))
     if shift > 0:
         x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+    if (Hp, Wp) != (H, W):
+        x = x[:, :H, :W]
     return x
 
 

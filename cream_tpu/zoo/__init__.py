@@ -1,4 +1,6 @@
 from cream_tpu.zoo.import_torch import (
     convert_tinyvit, convert_efficientvit, convert_deit_rpe, convert_swin,
-    convert_mini_swin, convert_clip, normalize_clip_layout,
-    load_torch_state_dict)
+    convert_mini_swin, convert_mini_deit, convert_clip,
+    convert_clip_classifier, convert_autoformer_supernet,
+    normalize_clip_layout, load_torch_state_dict)
+from cream_tpu.zoo.load import convert_for_model, load_model_variables

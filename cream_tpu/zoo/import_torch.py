@@ -167,6 +167,41 @@ def convert_deit_rpe(sd: Mapping[str, np.ndarray], depth: int = 12,
     return b.variables()
 
 
+def convert_mini_deit(sd: Mapping[str, np.ndarray], depth: int = 12,
+                      repeated_times: int = 2, with_head: bool = True) -> dict:
+    """Mini-DeiT torch state_dict -> flax variables (models/mini_deit.py).
+
+    Layout: weight-multiplexed blocks `blocks.{i}.block.*` holding shared
+    qkv/proj/mlp plus per-repeat RepeatedModuleList `instances.{r}` for
+    norm1/norm2/rpe_k/conv_l/conv_w
+    (MiniViT/Mini-DeiT/mini_vision_transformer.py:21-186; no cls token,
+    mini_deit_models.py use_cls_token=False)."""
+    b = _TreeBuilder()
+    b.raw(sd["pos_embed"], "pos_embed")
+    b.raw(_conv(sd["patch_embed.proj.weight"]), "patch_embed/kernel")
+    b.raw(sd["patch_embed.proj.bias"], "patch_embed/bias")
+    for i in range(depth // repeated_times):
+        tp, fp = f"blocks.{i}.block", f"blocks_{i}"
+        b.dense(sd, f"{tp}.attn.qkv", f"{fp}/qkv")
+        b.dense(sd, f"{tp}.attn.proj", f"{fp}/proj")
+        b.dense(sd, f"{tp}.mlp.fc1", f"{fp}/mlp_fc1")
+        b.dense(sd, f"{tp}.mlp.fc2", f"{fp}/mlp_fc2")
+        for r in range(repeated_times):
+            b.ln(sd, f"{tp}.norm1.instances.{r}", f"{fp}/norm1_{r}")
+            b.ln(sd, f"{tp}.norm2.instances.{r}", f"{fp}/norm2_{r}")
+            key = f"{tp}.attn.rpe_k.instances.{r}.lookup_table_weight"
+            if key in sd:
+                b.raw(sd[key], f"{fp}/rpe_k_{r}/lookup_table_weight")
+            for cname in ("conv_l", "conv_w"):
+                key = f"{tp}.attn.{cname}.instances.{r}.weight"
+                if key in sd:       # (h_out, h_in, 1, 1) -> Dense (h_in, h_out)
+                    b.raw(sd[key][:, :, 0, 0].T, f"{fp}/{cname}_{r}/kernel")
+    b.ln(sd, "norm", "norm")
+    if with_head and "head.weight" in sd:
+        b.dense(sd, "head", "head")
+    return b.variables()
+
+
 def convert_swin(sd: Mapping[str, np.ndarray], depths=(2, 2, 6, 2),
                  with_head: bool = True) -> dict:
     """Swin / S3 torch state_dict -> flax variables (models/swin.py naming).
@@ -280,6 +315,70 @@ def convert_clip(sd: Mapping[str, np.ndarray], vision_layers: int = 12,
     b.ln(sd, "ln_final", "text/ln_final")
     b.raw(sd["text_projection"], "text/text_projection")
     b.raw(sd["logit_scale"].reshape(()), "logit_scale")
+    return b.variables()
+
+
+def convert_autoformer_supernet(sd: Mapping[str, np.ndarray],
+                                with_head: bool = True) -> dict:
+    """AutoFormer supernet torch state_dict -> flax (models/autoformer.py).
+
+    One supernet checkpoint serves all subnets (SURVEY §8.3): the reference
+    stores FULL super-shaped buffers and slices views at sample time
+    (supernet_transformer.py:102-127), and the masked flax supernet holds the
+    same full shapes, so the import is a direct name map. The interleaved
+    qkv row order (q0,k0,v0,q1,...; qkv_super.py:72-77) is preserved as-is —
+    ElasticAttention de-interleaves with its (..., U, 3) reshape."""
+    depth = 0
+    while f"blocks.{depth}.fc1.weight" in sd:
+        depth += 1
+    b = _TreeBuilder()
+    b.raw(sd["cls_token"], "cls_token")
+    if "pos_embed" in sd:
+        b.raw(sd["pos_embed"], "pos_embed")
+    b.raw(_conv(sd["patch_embed_super.proj.weight"]), "patch_embed/kernel")
+    b.raw(sd["patch_embed_super.proj.bias"], "patch_embed/bias")
+    for i in range(depth):
+        tp, fp = f"blocks.{i}", f"blocks_{i}"
+        b.ln(sd, f"{tp}.attn_layer_norm", f"{fp}/attn_layer_norm")
+        b.dense(sd, f"{tp}.attn.qkv", f"{fp}/attn/qkv")
+        b.dense(sd, f"{tp}.attn.proj", f"{fp}/attn/proj")
+        for rel in ("rel_pos_embed_k", "rel_pos_embed_v"):
+            for tab in ("embeddings_table_v", "embeddings_table_h"):
+                key = f"{tp}.attn.{rel}.{tab}"
+                if key in sd:
+                    b.raw(sd[key], f"{fp}/attn/{rel}/{tab}")
+        b.ln(sd, f"{tp}.ffn_layer_norm", f"{fp}/ffn_layer_norm")
+        b.dense(sd, f"{tp}.fc1", f"{fp}/fc1")
+        b.dense(sd, f"{tp}.fc2", f"{fp}/fc2")
+    b.ln(sd, "norm", "norm")
+    if with_head and "head.weight" in sd:
+        b.dense(sd, "head", "head")
+    return b.variables()
+
+
+def convert_clip_classifier(sd: Mapping[str, np.ndarray],
+                            vision_layers: int = 24) -> dict:
+    """TinyViT's CLIP teacher checkpoint (vision tower + linear head,
+    TinyViT/models/clip.py:108-158) -> flax (models/clip.py CLIPClassifier)."""
+    sd = normalize_clip_layout(sd)
+    b = _TreeBuilder()
+    b.raw(_conv(sd["visual.conv1.weight"]), "visual/conv1/kernel")
+    b.raw(sd["visual.class_embedding"], "visual/class_embedding")
+    b.raw(sd["visual.positional_embedding"], "visual/positional_embedding")
+    b.ln(sd, "visual.ln_pre", "visual/ln_pre")
+    for i in range(vision_layers):
+        tp, fp = (f"visual.transformer.resblocks.{i}",
+                  f"visual/transformer/resblocks_{i}")
+        b.ln(sd, f"{tp}.ln_1", f"{fp}/ln_1")
+        b.dense_from(sd[f"{tp}.attn.in_proj_weight"],
+                     sd.get(f"{tp}.attn.in_proj_bias"), f"{fp}/attn/in_proj")
+        b.dense(sd, f"{tp}.attn.out_proj", f"{fp}/attn/out_proj")
+        b.ln(sd, f"{tp}.ln_2", f"{fp}/ln_2")
+        b.dense(sd, f"{tp}.mlp.c_fc", f"{fp}/c_fc")
+        b.dense(sd, f"{tp}.mlp.c_proj", f"{fp}/c_proj")
+    b.ln(sd, "visual.ln_post", "visual/ln_post")
+    b.raw(sd["visual.proj"], "visual/proj")
+    b.dense(sd, "head", "head")
     return b.variables()
 
 

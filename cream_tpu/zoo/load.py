@@ -1,0 +1,65 @@
+"""Route a model name to its torch-checkpoint converter.
+
+One entry point replaces the reference's per-project checkpoint loaders so
+every zoo family is reachable from the eval/save_logits/search CLIs
+(AutoFormerV2/evaluation.py, Cream/tools/test.py, TinyViT --eval, ...).
+Structural hyperparameters (depths, heads, share_num, tower sizes) are read
+from the same registries the model factories use, so converter and model
+can't drift apart.
+"""
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from cream_tpu.zoo import import_torch as it
+
+
+def convert_for_model(name: str, sd: Mapping[str, np.ndarray],
+                      with_head: bool = True) -> dict:
+    """torch state_dict -> flax variables for the registered model `name`."""
+    if name.startswith("tiny_vit"):
+        return it.convert_tinyvit(sd, with_head=with_head)
+    if name.startswith("efficientvit"):
+        from cream_tpu.models.efficientvit import _CONFIGS
+        cfg = _CONFIGS[name]
+        return it.convert_efficientvit(sd, depths=cfg["depth"],
+                                       num_heads=cfg["num_heads"],
+                                       with_head=with_head)
+    if name.startswith("mini_deit"):
+        return it.convert_mini_deit(sd, with_head=with_head)
+    if name.startswith("deit"):
+        return it.convert_deit_rpe(sd, with_head=with_head)
+    if name.startswith("mini_swin"):
+        from cream_tpu.models.swin import _MINI_SWIN
+        _, depths, _, _, share = _MINI_SWIN[name]
+        return it.convert_mini_swin(sd, depths=depths, share_num=share,
+                                    with_head=with_head)
+    if name.startswith("swin"):
+        from cream_tpu.models.swin import _SWIN
+        _, depths, _, _ = _SWIN[name]
+        return it.convert_swin(sd, depths=depths, with_head=with_head)
+    if name.startswith("s3"):
+        from cream_tpu.models.swin import _S3
+        return it.convert_swin(sd, depths=_S3[name]["depths"],
+                               with_head=with_head)
+    if name.endswith("_classifier"):
+        from cream_tpu.models.clip import _CLIP_CLASSIFIER_CONFIGS
+        cfg = _CLIP_CLASSIFIER_CONFIGS[name]
+        return it.convert_clip_classifier(sd, vision_layers=cfg.vision_layers)
+    if name.startswith(("clip", "tinyclip")):
+        from cream_tpu.models.clip import _CLIP_CONFIGS
+        cfg = _CLIP_CONFIGS[name]
+        return it.convert_clip(sd, vision_layers=cfg.vision_layers,
+                               text_layers=cfg.text_layers)
+    if name.startswith("autoformer_supernet"):
+        return it.convert_autoformer_supernet(sd)
+    raise ValueError(f"no torch importer wired for model {name!r}")
+
+
+def load_model_variables(name: str, ckpt_path: str,
+                         with_head: bool = True) -> dict:
+    """Load a torch .pth and convert it for model `name`."""
+    sd = it.load_torch_state_dict(ckpt_path)
+    return convert_for_model(name, sd, with_head=with_head)

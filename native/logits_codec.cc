@@ -38,7 +38,10 @@ inline uint16_t f32_to_f16(float f) {
       half++;
     return static_cast<uint16_t>(sign | half);
   }
-  if (exp >= 31) return static_cast<uint16_t>(sign | 0x7C00u);  // inf
+  if (exp >= 31) {  // inf/NaN — preserve NaN (quiet) like the numpy fallback
+    uint32_t nan_bit = (((x >> 23) & 0xFF) == 0xFF && mant) ? 0x200u : 0u;
+    return static_cast<uint16_t>(sign | 0x7C00u | nan_bit);
+  }
   uint32_t half = sign | (static_cast<uint32_t>(exp) << 10) | (mant >> 13);
   uint32_t rem = mant & 0x1FFFu;
   if (rem > 0x1000u || (rem == 0x1000u && (half & 1u))) half++;

@@ -291,3 +291,43 @@ class TestZeroShot:
         res = zero_shot_eval(fake_encode_image, clf, [
             {"image": jnp.zeros((4, 8, 8, 3)), "label": np.array([0, 1, 2, 3])}])
         assert 0 <= res["zeroshot_top1"] <= 100 and res["n"] == 4
+
+
+class TestCLIPClassifierTeacher:
+    def test_parity_vs_reference_teacher(self):
+        """CLIPClassifier + convert_clip_classifier vs the reference TinyViT
+        CLIP teacher (TinyViT/models/clip.py:108-158) — the save_logits
+        teacher path."""
+        import os
+        pytest.importorskip("torch")
+        if not os.path.isdir("/root/reference"):
+            pytest.skip("reference repo not mounted")
+        import torch
+        from torch_ref import load_ref_module
+        ref = load_ref_module("TinyViT/models/clip.py", "ref_tinyvit_clip")
+
+        torch.manual_seed(0)
+        tmodel = ref.CLIP(embed_dim=64, image_resolution=64, vision_layers=2,
+                          vision_width=128, vision_patch_size=16,
+                          num_classes=12)
+        tmodel.eval()
+        x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+        with torch.no_grad():
+            want = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+
+        from cream_tpu.models.clip import CLIPClassifier, CLIPConfig
+        from cream_tpu.zoo import convert_clip_classifier
+        sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+        variables = convert_clip_classifier(sd, vision_layers=2)
+        jmodel = CLIPClassifier(
+            cfg=CLIPConfig(embed_dim=64, vision_width=128, vision_layers=2,
+                           vision_patch=16, image_size=64),
+            num_classes=12, quick_gelu=True)
+        got = jax.jit(lambda v, x: jmodel.apply(v, x))(
+            {"params": variables["params"]}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
+
+    def test_registered_factory(self):
+        from cream_tpu.models import create_model
+        m = create_model("clip_vit_large14_224_classifier", num_classes=21841)
+        assert m.cfg.vision_layers == 24 and m.cfg.vision_width == 1024

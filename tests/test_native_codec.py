@@ -50,3 +50,24 @@ class TestNativeCodec:
         r = LogitsReader(str(tmp_path), 0, use_native=False)  # numpy decode
         gv, _, _ = r.read_batch(np.arange(N))
         np.testing.assert_array_equal(gv, f16)
+
+    def test_nonfinite_roundtrip_matches_numpy(self, tmp_path):
+        """NaN must survive the native f32->f16 path (ADVICE r1): the numpy
+        fallback preserves NaN, so the native store must too."""
+        K, C, N = 4, 10, 2
+        vals = np.asarray([[np.nan, np.inf, -np.inf, 1.5],
+                           [0.0, -0.0, np.nan, 65504.0]], np.float32)
+        idxs = np.arange(N * K, dtype=np.int32).reshape(N, K) % C
+        seeds = np.arange(N, dtype=np.int32)
+        for use_native in (True, False):
+            d = tmp_path / f"native{use_native}"
+            d.mkdir()
+            w = LogitsWriter(str(d), 0, N, K, C, use_native=use_native)
+            w.write_batch(np.arange(N), seeds, vals, idxs)
+            w.close()
+            gv, _, _ = LogitsReader(str(d), 0,
+                                    use_native=False).read_batch(np.arange(N))
+            expect = vals.astype(np.float16).astype(np.float32)
+            np.testing.assert_array_equal(np.isnan(gv), np.isnan(expect))
+            np.testing.assert_array_equal(gv[~np.isnan(expect)],
+                                          expect[~np.isnan(expect)])

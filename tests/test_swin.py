@@ -113,3 +113,24 @@ class TestModels:
         v = jit_init(model, x)
         y = jax.jit(lambda v, x: model.apply(v, x))(v, x)
         assert y.shape == (1, 10) and bool(jnp.isfinite(y).all())
+
+
+class TestNonDivisibleShift:
+    def test_swin_attend_pads_before_masking(self):
+        """Shifted attention at resolutions not divisible by the window must
+        pad first and mask on the padded grid (ADVICE r1) — previously a
+        trace-time crash."""
+        from cream_tpu.nn.swin import SwinWindowAttention, swin_attend
+
+        attn = SwinWindowAttention(dim=32, window=7, num_heads=4)
+        x = jnp.asarray(np.random.default_rng(0).random((2, 10, 10, 32)),
+                        jnp.float32)
+        v = attn.init(jax.random.key(0),
+                      jnp.zeros((2 * 4, 49, 32)))  # 10->14 padded: 4 windows
+
+        def run(x):
+            return swin_attend(x, lambda wx, mask, proj_l, proj_w:
+                               attn.apply(v, wx, mask=mask), 7, 3)
+        y = jax.jit(run)(x)
+        assert y.shape == x.shape
+        assert np.isfinite(np.asarray(y)).all()

@@ -208,3 +208,59 @@ class TestGraftEntry:
             os.path.abspath(__file__))))
         import __graft_entry__
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestSeededPairMixup:
+    """The reference's pair2 mixup (TinyViT mixup.py:213-235): deterministic
+    in the per-sample aug seeds so save_logits and the distill loop agree."""
+
+    def _batch(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.random((8, 16, 16, 3)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 10, 8), jnp.int32)
+        seeds = jnp.asarray(rng.integers(0, 2**31, 8), jnp.int32)
+        return x, y, seeds
+
+    def test_deterministic_in_seeds(self):
+        from cream_tpu.data.mixup import seeded_pair_mixup
+        x, y, seeds = self._batch()
+        a_img, a_tgt = jax.jit(seeded_pair_mixup, static_argnums=3)(
+            seeds, x, y, 10)
+        b_img, b_tgt = jax.jit(seeded_pair_mixup, static_argnums=3)(
+            seeds, x, y, 10)
+        np.testing.assert_array_equal(np.asarray(a_img), np.asarray(b_img))
+        np.testing.assert_array_equal(np.asarray(a_tgt), np.asarray(b_tgt))
+        # different seeds -> different mix
+        c_img, _ = jax.jit(seeded_pair_mixup, static_argnums=3)(
+            seeds + 1, x, y, 10)
+        assert np.abs(np.asarray(a_img) - np.asarray(c_img)).max() > 1e-6
+
+    def test_pairs_mixed_within_pair(self):
+        """Mass only moves between samples 2i and 2i+1 (pair2 semantics)."""
+        from cream_tpu.data.mixup import seeded_pair_mixup
+        x, y, seeds = self._batch()
+        y = jnp.arange(8, dtype=jnp.int32)          # distinct labels
+        _, tgt = seeded_pair_mixup(seeds, x, y, 8, smoothing=0.0)
+        tgt = np.asarray(tgt)
+        for i in range(0, 8, 2):
+            # all probability mass on classes {i, i+1}
+            assert tgt[i, [i, i + 1]].sum() == pytest.approx(1.0, abs=1e-5)
+            assert tgt[i + 1, [i, i + 1]].sum() == pytest.approx(1.0, abs=1e-5)
+            off = np.delete(tgt[i], [i, i + 1])
+            assert np.abs(off).max() < 1e-6
+
+    def test_single_mode_always_applies(self):
+        """With cutmix disabled, every batch gets real mixup (no lam=1 holes
+        from the disabled branch) — ADVICE r1 fix."""
+        from cream_tpu.data.mixup import mixup_cutmix
+        x = jnp.ones((4, 8, 8, 3))
+        y = jnp.arange(4, dtype=jnp.int32)    # distinct labels expose lam
+        lams = []
+        for s in range(20):
+            _, tgt = mixup_cutmix(jax.random.key(s), x, y, 4,
+                                  mixup_alpha=0.8, cutmix_alpha=0.0,
+                                  smoothing=0.0)
+            lams.append(float(np.asarray(tgt)[0, 0]))
+        # beta(0.8, 0.8) should essentially never hit exactly 1.0 twenty
+        # times; degenerate switch branches produced lam=1 half the time
+        assert sum(1 for v in lams if v > 0.999) < 10

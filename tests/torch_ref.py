@@ -144,6 +144,25 @@ def install_timm_stub():
     })
 
 
+def install_easydict_stub():
+    if "easydict" in sys.modules:
+        return
+    mod = types.ModuleType("easydict")
+
+    class EasyDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    mod.EasyDict = EasyDict
+    sys.modules["easydict"] = mod
+
+
 def load_ref_module(relpath: str, name: str):
     """Import a reference .py file as a standalone module (timm stubbed)."""
     install_timm_stub()
