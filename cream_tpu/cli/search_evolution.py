@@ -1,11 +1,25 @@
 """AutoFormer evolution search CLI (AutoFormer/evolution.py equivalent).
 
-    python -m cream_tpu.cli.search_evolution --space tiny \
-        data.dataset=synthetic data.batch_size=64 \
-        --param-min 5e6 --param-max 7e6 --epochs 5
+Candidate fitness = top-1 of the TRAINED masked supernet on the
+(sub-sampled) val set; zero retraces across candidates (the masked supernet
+compiles once). Weights come from --ckpt / --torch-ckpt, exactly like the
+reference restores the trained supernet before searching
+(evolution.py:537-544).
 
-Candidate fitness = top-1 of the masked supernet on the (sub-sampled) val
-set; zero retraces across candidates (the masked supernet compiles once).
+Full smoke recipe (supernet-train -> evolution -> subnet-eval):
+
+    python -m cream_tpu.cli.supernet_train --space tiny \
+        data.dataset=synthetic data.batch_size=32 train.epochs=2 \
+        model.num_classes=16 output=/tmp/af
+    python -m cream_tpu.cli.search_evolution --space tiny \
+        --ckpt /tmp/af/autoformer_supernet_tiny/default/ckpt \
+        data.dataset=synthetic model.num_classes=16 \
+        --param-min 5e6 --param-max 12e6 --epochs 3 --population 8 \
+        --out /tmp/af/evo.json
+    # deploy: extract_subnet(variables, best_config) -> AutoFormerSubnet
+
+On real data point data.data_path at ImageNet (the EVO_IMNET subset role is
+played by --max-eval-batches over the val loader).
 """
 from __future__ import annotations
 
@@ -38,6 +52,12 @@ def main(argv=None):
     ap.add_argument("--max-eval-batches", type=int, default=20)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--out", default="evolution_result.json")
+    ap.add_argument("--ckpt", default=None,
+                    help="orbax checkpoint dir from supernet_train")
+    ap.add_argument("--torch-ckpt", default=None,
+                    help="reference supernet .pth (evolution.py:537-544)")
+    ap.add_argument("--allow-random", action="store_true",
+                    help="smoke tests only: search a random-init supernet")
     ap.add_argument("opts", nargs="*")
     args = ap.parse_args(argv)
     cfg = Config.from_yaml(args.cfg, args.opts)
@@ -52,8 +72,26 @@ def main(argv=None):
     x0 = jnp.zeros((cfg.data.batch_size, cfg.data.img_size,
                     cfg.data.img_size, 3), dtype)
     c0 = encode_config(sample_config(np.random.default_rng(0), space), space)
-    variables = jax.jit(model.init)(jax.random.key(0), x0, c0)
-    # TODO: restore supernet weights from a training checkpoint when given
+    # The supernet MUST carry trained weights — the reference loads the
+    # trained checkpoint before searching (AutoFormer/evolution.py:537-544);
+    # searching a random-init supernet yields noise.
+    if args.torch_ckpt:
+        from cream_tpu.zoo import load_model_variables
+        variables = load_model_variables(f"autoformer_supernet_{args.space}",
+                                         args.torch_ckpt)
+    elif args.ckpt:
+        from cream_tpu.core.checkpoint import restore_params
+        shapes = jax.eval_shape(model.init, jax.random.key(0), x0, c0)
+        variables = {"params": restore_params(args.ckpt, shapes["params"])}
+    elif args.allow_random:
+        variables = jax.jit(model.init)(jax.random.key(0), x0, c0)
+    else:
+        raise SystemExit(
+            "refusing to search a RANDOM-init supernet: pass --ckpt (orbax "
+            "dir from supernet_train) or --torch-ckpt (reference supernet "
+            ".pth), or --allow-random for smoke tests only.")
+    from cream_tpu.core.mesh import replicated_sharding
+    variables = jax.device_put(variables, replicated_sharding(mesh))
 
     ds = build_dataset(cfg, train=False)
     batches = []

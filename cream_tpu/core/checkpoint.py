@@ -25,13 +25,34 @@ def _manager(ckpt_dir: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
 
 def save_checkpoint(ckpt_dir: str, step: int, state: Any,
                     extra: dict | None = None, max_to_keep: int = 3):
-    """state: any pytree (e.g. TrainState); extra: small JSON-able metadata."""
+    """state: any pytree (e.g. TrainState); extra: small JSON-able metadata.
+
+    When state carries a `.params` attribute it is additionally saved under a
+    separate 'params' entry so consumers (evolution search, eval, teacher
+    loading) can restore weights WITHOUT reconstructing the optimizer tree —
+    the reference's 'one supernet ckpt serves all subnets' usage
+    (AutoFormer/evolution.py:537-544)."""
     with _manager(ckpt_dir, max_to_keep) as mngr:
         args = {"state": ocp.args.StandardSave(state)}
+        if hasattr(state, "params"):
+            args["params"] = ocp.args.StandardSave(state.params)
         if extra:
             args["extra"] = ocp.args.JsonSave(extra)
         mngr.save(step, args=ocp.args.Composite(**args))
         mngr.wait_until_finished()
+
+
+def restore_params(ckpt_dir: str, abstract_params: Any,
+                   step: int | None = None) -> Any:
+    """Restore only the params tree saved by save_checkpoint."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    with _manager(ckpt_dir) as mngr:
+        restored = mngr.restore(step, args=ocp.args.Composite(
+            params=ocp.args.StandardRestore(abstract_params)))
+    return restored["params"]
 
 
 def latest_step(ckpt_dir: str) -> int | None:
