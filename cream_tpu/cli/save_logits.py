@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cream_tpu.core.config import Config
-from cream_tpu.cli.train import build_dataset
+from cream_tpu.cli.train import build_dataset, build_train_transform
 from cream_tpu.data.imagenet import train_loader
 from cream_tpu.data.mixup import seeded_pair_mixup
 from cream_tpu.distill import LogitsReader, LogitsWriter
@@ -97,6 +97,7 @@ def main(argv=None):
         mapping = jnp.asarray(load_1k_to_22k(args.remap_1kto22k))
         num_out_classes = int(mapping.shape[0])
     use_mixup = cfg.aug.mixup > 0 or cfg.aug.cutmix > 0
+    transform = build_train_transform(cfg)
 
     @jax.jit
     def topk_probs(variables, images, seeds):
@@ -117,7 +118,8 @@ def main(argv=None):
             reader = LogitsReader(args.out, epoch)
             max_err, diff_rate, n = 0.0, 0.0, 0
             for batch in train_loader(ds, cfg.data.batch_size, epoch,
-                                      cfg.train.seed, cfg.data.img_size):
+                                      cfg.train.seed, cfg.data.img_size,
+                                      transform=transform):
                 vals, idxs = topk_probs(variables,
                                         jnp.asarray(batch["image"]),
                                         jnp.asarray(batch["seed"]))
@@ -132,7 +134,8 @@ def main(argv=None):
         else:
             writer = LogitsWriter(args.out, epoch, len(ds), K, num_out_classes)
             for batch in train_loader(ds, cfg.data.batch_size, epoch,
-                                      cfg.train.seed, cfg.data.img_size):
+                                      cfg.train.seed, cfg.data.img_size,
+                                      transform=transform):
                 vals, idxs = topk_probs(variables,
                                         jnp.asarray(batch["image"]),
                                         jnp.asarray(batch["seed"]))

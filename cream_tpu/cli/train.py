@@ -33,6 +33,17 @@ from cream_tpu.train import (
 from cream_tpu.train.losses import soft_target_ce
 
 
+def build_train_transform(cfg: Config):
+    """Full deterministic aug pipeline from the config (shared by the train
+    and save_logits CLIs so teacher and student see identical pixels)."""
+    from cream_tpu.data.det_aug import TrainAugConfig, make_train_transform
+    return make_train_transform(TrainAugConfig(
+        img_size=cfg.data.img_size, hflip=cfg.aug.hflip,
+        color_jitter=cfg.aug.color_jitter, auto_augment=cfg.aug.auto_augment,
+        reprob=cfg.aug.reprob, remode=cfg.aug.remode,
+        recount=cfg.aug.recount))
+
+
 def build_dataset(cfg: Config, train: bool):
     if cfg.data.dataset == "synthetic":
         return SyntheticDataset(n=max(4 * cfg.data.batch_size, 64),
@@ -123,7 +134,9 @@ def main(argv=None):
             reader = LogitsReader(cfg.distill.teacher_logits_path, epoch)
         for i, batch in enumerate(train_loader(
                 train_ds, cfg.data.batch_size, epoch, cfg.train.seed,
-                cfg.data.img_size, cfg.data.num_workers)):
+                cfg.data.img_size, cfg.data.num_workers,
+                transform=build_train_transform(cfg),
+                repeated_aug=0 if distill else cfg.aug.repeated_aug)):
             mix_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + i)
             images = jnp.asarray(batch["image"], dtype)
             if distill:

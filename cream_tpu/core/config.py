@@ -77,6 +77,10 @@ class AugConfig:
     color_jitter: float = 0.4
     auto_augment: str = "rand-m9-mstd0.5-inc1"
     reprob: float = 0.25                           # random erasing
+    remode: str = "pixel"
+    recount: int = 1
+    repeated_aug: int = 0                          # RASampler repetitions
+    hflip: float = 0.5
 
 
 @dataclass

@@ -10,6 +10,8 @@ order-independent.
 """
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 from PIL import Image
 
@@ -65,3 +67,57 @@ def train_transform(img: Image.Image, seed: int, size: int = 224,
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainAugConfig:
+    """The reference training recipe's aug knobs (timm create_transform args;
+    TinyViT/data/build.py, AutoFormer lib/datasets.py)."""
+    img_size: int = 224
+    hflip: float = 0.5
+    scale: tuple = (0.08, 1.0)
+    ratio: tuple = (3 / 4, 4 / 3)
+    color_jitter: float = 0.4             # applied only when auto_augment off
+    auto_augment: str = "rand-m9-mstd0.5-inc1"
+    reprob: float = 0.25                  # random erasing probability
+    remode: str = "pixel"
+    recount: int = 1
+    mean: tuple = (0.485, 0.456, 0.406)
+    std: tuple = (0.229, 0.224, 0.225)
+
+
+def make_train_transform(cfg: TrainAugConfig):
+    """Full deterministic training pipeline: RRC -> hflip -> RandAugment/
+    AutoAugment (or color jitter) -> normalize -> random erasing; a pure
+    function of (image, seed) like the reference's patched timm stack
+    (timm order in transforms_factory: aa disables color jitter)."""
+    from cream_tpu.data.auto_augment import (
+        RandomErasing, color_jitter, create_augmenter)
+
+    augmenter = create_augmenter(
+        cfg.auto_augment,
+        hparams=dict(translate_const=int(cfg.img_size * 0.45),
+                     img_mean=tuple(int(round(255 * m)) for m in cfg.mean)))
+    eraser = (RandomErasing(cfg.reprob, mode=cfg.remode,
+                            max_count=cfg.recount)
+              if cfg.reprob > 0 else None)
+    mean = np.asarray(cfg.mean, np.float32)
+    std = np.asarray(cfg.std, np.float32)
+
+    def transform(img: Image.Image, seed: int) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        img = img.convert("RGB")
+        img = random_resized_crop(img, rng, cfg.img_size, cfg.scale, cfg.ratio)
+        if rng.random() < cfg.hflip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        if augmenter is not None:
+            img = augmenter(img, rng)
+        elif cfg.color_jitter > 0:
+            img = color_jitter(img, rng, cfg.color_jitter)
+        arr = np.asarray(img, np.float32) / 255.0
+        arr = (arr - mean) / std
+        if eraser is not None:
+            arr = eraser(arr, rng)
+        return arr
+
+    return transform

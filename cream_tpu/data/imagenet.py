@@ -23,6 +23,7 @@ import numpy as np
 from PIL import Image
 
 from cream_tpu.data.det_aug import sample_seed, train_transform
+from cream_tpu.data.samplers import repeated_aug_order
 from cream_tpu.data.transforms import EvalPreprocess, eval_preprocess_config, preprocess_pil
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
@@ -139,25 +140,46 @@ def eval_loader(dataset, batch_size: int, img_size: int = 224,
 def train_loader(dataset, batch_size: int, epoch: int, base_seed: int = 0,
                  img_size: int = 224, num_workers: int = 8,
                  shuffle: bool = True, drop_last: bool = True,
-                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)
-                 ) -> Iterator[dict]:
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                 transform=None, repeated_aug: int = 0) -> Iterator[dict]:
     """Seeded training batches. Every sample carries its aug seed so saved
-    teacher logits can be replayed (TinyViT distillation semantics)."""
+    teacher logits can be replayed (TinyViT distillation semantics).
+
+    transform: optional fn(PIL, seed) -> float32 HWC (e.g.
+    det_aug.make_train_transform for the full RandAugment recipe); defaults
+    to the plain RRC+flip pipeline.
+    repeated_aug: >0 enables the RASampler behavior (AutoFormer/lib/
+    samplers.py): each epoch visits ~n/reps distinct samples, each repeated
+    `repeated_aug` times with different aug seeds."""
     n = len(dataset)
-    order = np.arange(n)
-    if shuffle:
-        np.random.default_rng(base_seed + epoch).shuffle(order)
+    if repeated_aug and repeated_aug > 1:
+        order, reps = repeated_aug_order(n, epoch, base_seed, repeated_aug)
+    else:
+        order = np.arange(n)
+        reps = np.zeros(n, np.int64)
+        if shuffle:
+            perm = np.random.default_rng(base_seed + epoch).permutation(n)
+            order = order[perm]
 
-    def load_one(i):
+    if transform is None:
+        def transform(img, seed):
+            return train_transform(img, seed, img_size, mean, std)
+
+    def load_one(args):
+        i, rep = args
         img, label = dataset.load(int(i))
-        seed = sample_seed(base_seed, epoch, int(i))
-        return train_transform(img, seed, img_size, mean, std), label, seed
+        # fold the repeat id into the seed so repeated samples get distinct
+        # augmentations (the RASampler point)
+        seed = sample_seed(base_seed + 101 * int(rep), epoch, int(i))
+        return transform(img, seed), label, seed
 
-    end = n - (n % batch_size) if drop_last else n
+    m = len(order)
+    end = m - (m % batch_size) if drop_last else m
     with ThreadPoolExecutor(num_workers) as pool:
         for start in range(0, end, batch_size):
             idx = order[start:start + batch_size]
-            results = list(pool.map(load_one, idx))
+            rr = reps[start:start + batch_size]
+            results = list(pool.map(load_one, zip(idx, rr)))
             yield {
                 "image": np.stack([r[0] for r in results]),
                 "label": np.asarray([r[1] for r in results], np.int32),
