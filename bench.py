@@ -1,12 +1,16 @@
-"""Benchmark harness — prints ONE JSON line with the headline metric.
+"""Benchmark harness — prints ONE JSON line with the headline metric plus a
+per-model breakdown (throughput + MFU) so regressions are visible.
 
 Semantics mirror the reference's throughput tests
 (EfficientViT/classification/speed_test.py:19-100 — warmup then timed
 images/s; TinyViT/main.py:458 throughput()) but on TPU: bf16 compute, jitted
 inference, batch sized for the chip.
 
-Headline: TinyViT-21M @224 eval throughput (img/s) on one chip, compared to
-the reference's published V100 number (1,571 img/s, TinyViT/README.md:55).
+Headline: TinyViT-21M @224 eval throughput (img/s) on one chip vs the
+reference's published V100 number (1,571 img/s, TinyViT/README.md:55). The
+`models` field carries EfficientViT-M0/M5, S3-T and the TinyCLIP-39M pair
+encoder with an MFU column (FLOPs from XLA's compiled cost analysis over
+the chip's bf16 peak).
 
 The timed region is a single jitted lax.scan whose carry depends on each
 iteration's output, so every forward pass must actually execute on device —
@@ -19,28 +23,73 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_V100_IMGS = 1571.0  # TinyViT-21M V100 throughput (TinyViT/README.md:55)
+# reference V100 numbers (BASELINE.md)
+REF_V100 = {
+    "tinyvit_21m": 1571.0,       # TinyViT/README.md:55
+    "efficientvit_m0": 27644.0,  # EfficientViT/classification/README.md:9
+    "efficientvit_m5": 10621.0,  # EfficientViT/classification/README.md:14
+    "s3_tiny": None,             # no published V100 throughput
+    "tinyclip_39m_pairs": 1469.0,  # TinyCLIP/README.md:28 (pairs/s)
+}
+
+# bf16 peak FLOP/s per chip kind (TPU specs); fallback 197e12 (v5e)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_FLOPS.items():
+        if k.lower() in kind.lower():
+            return v
+    return 197e12
 
 
 def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
-                     repeats: int = 3, min_window_s: float = 2.0) -> float:
-    """Images/sec for apply_fn(variables, x) over n_iters chained iterations.
+                     repeats: int = 3, min_window_s: float = 2.0
+                     ) -> tuple[float, float]:
+    """(items/sec, flops_per_call) for apply_fn(variables, x) over n_iters
+    chained iterations.
 
     The measured region auto-scales to >= min_window_s and the best of
     `repeats` timings is reported — the device tunnel adds multi-100ms
     jitter that otherwise dominates short windows.
     """
+    lead = x[0] if isinstance(x, (tuple, list)) else x
 
     def make_run(length):
         @jax.jit
         def run(variables, x):
             def body(carry, _):
-                y = apply_fn(variables, x + carry)
-                return (y.mean() * 1e-12).astype(x.dtype), None
-            carry, _ = jax.lax.scan(body, jnp.zeros((), x.dtype), None,
+                if isinstance(x, (tuple, list)):
+                    outs = apply_fn(variables, *[xi + carry.astype(xi.dtype)
+                                                 for xi in x])
+                else:
+                    outs = apply_fn(variables, x + carry.astype(x.dtype))
+                out = outs[0] if isinstance(outs, (tuple, list)) else outs
+                return (out.astype(jnp.float32).mean() * 1e-12), None
+            carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
                                     length=length)
             return carry
         return run
+
+    # FLOPs per single forward call from XLA cost analysis
+    single = jax.jit(lambda v, x: apply_fn(v, *x)
+                     if isinstance(x, (tuple, list)) else apply_fn(v, x))
+    try:
+        cost = single.lower(variables, x).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
 
     run = make_run(n_iters)
     jax.device_get(run(variables, x))  # compile + warmup
@@ -57,25 +106,67 @@ def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
         t0 = time.perf_counter()
         jax.device_get(run(variables, x))
         best = min(best, time.perf_counter() - t0)
-    return x.shape[0] * n_iters / best
+    return lead.shape[0] * n_iters / best, flops
+
+
+def bench_classifier(name: str, batch: int, img: int = 224) -> dict:
+    from cream_tpu.models import create_model
+    model = create_model(name, num_classes=1000, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch, img, img, 3), jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    ips, flops = timed_throughput(
+        lambda v, x: model.apply(v, x), variables, x)
+    mfu = ips / batch * flops / chip_peak_flops() if flops else None
+    return {"items_per_s": round(ips, 1), "unit": "img/s", "batch": batch,
+            "mfu": round(mfu, 4) if mfu else None}
+
+
+def bench_clip_pair(batch: int = 256) -> dict:
+    from cream_tpu.models import create_model
+    model = create_model("tinyclip_vit_39m_16_text_19m", dtype=jnp.bfloat16)
+    img = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
+    txt = jnp.zeros((batch, 77), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.key(0), img, txt)
+    ips, flops = timed_throughput(
+        lambda v, i, t: model.apply(v, i, t)[0], variables, [img, txt])
+    mfu = ips / batch * flops / chip_peak_flops() if flops else None
+    return {"items_per_s": round(ips, 1), "unit": "pairs/s", "batch": batch,
+            "mfu": round(mfu, 4) if mfu else None}
 
 
 def main():
-    from cream_tpu.models import create_model
+    models = {}
+    specs = [
+        ("tinyvit_21m", "tiny_vit_21m_224", 256),
+        ("efficientvit_m0", "efficientvit_m0", 1024),
+        ("efficientvit_m5", "efficientvit_m5", 512),
+        ("s3_tiny", "s3_tiny", 128),
+    ]
+    for key, name, batch in specs:
+        try:
+            r = bench_classifier(name, batch)
+        except Exception as e:       # one model failing must not kill bench
+            r = {"error": f"{type(e).__name__}: {e}"}
+        ref = REF_V100.get(key)
+        if ref and "items_per_s" in r:
+            r["vs_v100"] = round(r["items_per_s"] / ref, 3)
+        models[key] = r
+    try:
+        r = bench_clip_pair()
+        r["vs_v100"] = round(r["items_per_s"] / REF_V100["tinyclip_39m_pairs"], 3)
+    except Exception as e:
+        r = {"error": f"{type(e).__name__}: {e}"}
+    models["tinyclip_39m_pairs"] = r
 
-    batch = 256
-    model = create_model("tiny_vit_21m_224", num_classes=1000, dtype=jnp.bfloat16)
-    x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
-    variables = jax.jit(model.init)(jax.random.key(0), x)
-
-    imgs_per_s = timed_throughput(
-        lambda v, x: model.apply(v, x), variables, x)
-
+    head = models["tinyvit_21m"]
     print(json.dumps({
         "metric": "tinyvit21m_224_infer_throughput",
-        "value": round(imgs_per_s, 1),
+        "value": head.get("items_per_s", 0.0),
         "unit": "img/s",
-        "vs_baseline": round(imgs_per_s / BASELINE_V100_IMGS, 3),
+        "vs_baseline": round(head.get("items_per_s", 0.0) /
+                             REF_V100["tinyvit_21m"], 3),
+        "device": jax.devices()[0].device_kind,
+        "models": models,
     }))
 
 
