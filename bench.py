@@ -112,7 +112,10 @@ def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
 def bench_classifier(name: str, batch: int, img: int = 224) -> dict:
     from cream_tpu.models import create_model
     model = create_model(name, num_classes=1000, dtype=jnp.bfloat16)
-    x = jnp.zeros((batch, img, img, 3), jnp.bfloat16)
+    # random (not zeros!) input: XLA algebraically collapses broadcasts of
+    # constants through LN/Dense chains, making zeros-fed benches report
+    # impossible numbers (measured 17x on isolated attention blocks).
+    x = jax.random.normal(jax.random.key(1), (batch, img, img, 3), jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.key(0), x)
     ips, flops = timed_throughput(
         lambda v, x: model.apply(v, x), variables, x)
@@ -124,8 +127,10 @@ def bench_classifier(name: str, batch: int, img: int = 224) -> dict:
 def bench_clip_pair(batch: int = 256) -> dict:
     from cream_tpu.models import create_model
     model = create_model("tinyclip_vit_39m_16_text_19m", dtype=jnp.bfloat16)
-    img = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
-    txt = jnp.zeros((batch, 77), jnp.int32)
+    img = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3),
+                            jnp.bfloat16)
+    txt = jax.random.randint(jax.random.key(2), (batch, 77), 0, 49408,
+                             jnp.int32)
     variables = jax.jit(model.init)(jax.random.key(0), img, txt)
     ips, flops = timed_throughput(
         lambda v, i, t: model.apply(v, i, t)[0], variables, [img, txt])

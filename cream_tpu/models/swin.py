@@ -58,7 +58,7 @@ class SwinBlock(nn.Module):
         attn = SwinWindowAttention(self.dim, min(self.window, H, W),
                                    self.num_heads, self.head_dim,
                                    dtype=self.dtype, name="attn")
-        h = swin_attend(h, attn, self.window, self.shift)
+        h = swin_attend(h, attn, self.window, self.shift, train=train)
         rng = self.make_rng("drop_path") if (train and self.drop_path_rate > 0) else None
         x = res + drop_path(h, self.drop_path_rate, not train, rng)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
@@ -154,7 +154,8 @@ class MiniSwinBlock(nn.Module):
                 proj_w = nn.Dense(self.num_heads, dtype=self.dtype,
                                   name=f"proj_w_{r}")
             shift = (ws // 2) if (is_shift and ws < min(H, W)) else 0
-            h = swin_attend(h, attn, ws, shift, proj_l=proj_l, proj_w=proj_w)
+            h = swin_attend(h, attn, ws, shift, proj_l=proj_l, proj_w=proj_w,
+                            train=train)
             dpr = self.drop_path_rates[r]
             rng = self.make_rng("drop_path") if (train and dpr > 0) else None
             x = res + drop_path(h, dpr, not train, rng)

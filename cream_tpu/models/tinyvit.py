@@ -19,10 +19,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cream_tpu.models.registry import register_model
-from cream_tpu.nn.attention import BiasAttention
+from cream_tpu.nn.attention import WindowBiasAttention
 from cream_tpu.nn.layers import ConvBN, MBConv, MlpLN
 from cream_tpu.ops.common import drop_path
-from cream_tpu.ops.window import window_partition, window_reverse
 from cream_tpu.nn.act import gelu
 
 Dtype = Any
@@ -74,17 +73,9 @@ class TinyViTBlock(nn.Module):
         head_dim = self.dim // self.num_heads
 
         res = x
-        if H == ws and W == ws:
-            h = BiasAttention(self.dim, head_dim, self.num_heads, attn_ratio=1.0,
-                              resolution=(ws, ws), dtype=self.dtype,
-                              name="attn")(x.reshape(B, H * W, C), train)
-            h = h.reshape(B, H, W, C)
-        else:
-            wx, padded = window_partition(x, ws)
-            wx = BiasAttention(self.dim, head_dim, self.num_heads, attn_ratio=1.0,
-                               resolution=(ws, ws), dtype=self.dtype,
-                               name="attn")(wx, train)
-            h = window_reverse(wx, ws, padded, (H, W))
+        h = WindowBiasAttention(self.dim, head_dim, self.num_heads, window=ws,
+                                attn_ratio=1.0, dtype=self.dtype,
+                                name="attn")(x, train)
         rng = self.make_rng("drop_path") if (train and self.drop_path_rate > 0) else None
         x = res + drop_path(h, self.drop_path_rate, not train, rng)
 

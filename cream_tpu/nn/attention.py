@@ -73,3 +73,68 @@ class BiasAttention(nn.Module):
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
         out = out.reshape(B, N, h * d)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class WindowBiasAttention(nn.Module):
+    """Bias-attention over non-overlapping windows of an NHWC feature map.
+
+    Same math and parameter tree as BiasAttention applied per window
+    (TinyViT/models/tiny_vit.py:216-286 + its window partitioning :344-370),
+    but structured TPU-first: LN and the fused qkv projection run on the
+    (B, H, W, C) map (per-token ops — windowing commutes with them), and the
+    windowing itself happens inside the fused Pallas kernel via BlockSpec
+    index maps. Nothing is ever transposed in HBM. Measured on v5e bs256
+    (TinyViT-21M stage shapes, random data): 7.8 ms vs 10.9-13 ms for the
+    einsum-over-partitioned-windows form whose reshape/transpose chain poisons
+    XLA's layout assignment (batch-minor convolutions + T(4,128) copies).
+
+    The jnp path (training / CPU / shapes the kernel doesn't support) keeps
+    the reference op order: partition first, then LN inside the window stack —
+    identical results when H, W divide the window (all shipped configs).
+    """
+    dim: int
+    key_dim: int
+    num_heads: int
+    window: int
+    attn_ratio: float = 1.0
+    use_pallas: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from cream_tpu.ops.window import window_partition, window_reverse
+        B, H, W, C = x.shape
+        h, kd = self.num_heads, self.key_dim
+        d = int(self.attn_ratio * kd)
+        ws = min(self.window, H, W)
+        N = ws * ws
+        idxs, num_offsets = attention_bias_indices((ws, ws))
+        biases = self.param("attention_biases", nn.initializers.zeros,
+                            (h, num_offsets), jnp.float32)
+        bias_tab = biases[:, idxs]                        # (h, N, N)
+
+        # kernel path: divisible windows, inference, on TPU, VMEM-sized bias
+        kernel_ok = (self.use_pallas and not train and _on_tpu()
+                     and H % ws == 0 and W % ws == 0 and N <= 256
+                     and h * N * N * 4 < 6 * 2 ** 20)
+        if kernel_ok:
+            from cream_tpu.ops.pallas.window_attention import (
+                fused_window_attention)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+            qkv = nn.Dense(h * (2 * kd + d), dtype=self.dtype, name="qkv")(y)
+            out = fused_window_attention(qkv, bias_tab, window=ws, heads=h,
+                                         kd=kd, dv=d)     # (B, H, W, h*d)
+        else:
+            w, padded = window_partition(x, ws)
+            Wn = w.shape[0]
+            w = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(w)
+            qkv = nn.Dense(h * (2 * kd + d), dtype=self.dtype, name="qkv")(w)
+            qkv = qkv.reshape(Wn, N, h, 2 * kd + d)
+            q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
+            attn = jnp.einsum("bnhk,bmhk->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * (kd ** -0.5)
+            attn = attn + bias_tab[None].astype(attn.dtype)
+            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+            o = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Wn, N, h * d)
+            out = window_reverse(o, ws, padded, (H, W))
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from cream_tpu.nn.attention import _on_tpu
 from cream_tpu.ops.window import window_partition, window_reverse
 
 Dtype = Any
@@ -74,11 +75,47 @@ class SwinWindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray] = None,
-                 proj_l=None, proj_w=None):
-        Bn, N, C = x.shape
+                 proj_l=None, proj_w=None, train: bool = False):
         h = self.num_heads
-        d = self.head_dim if self.head_dim is not None else C // h
+        d = self.head_dim if self.head_dim is not None else x.shape[-1] // h
         scale = d ** -0.5
+        N = self.window * self.window
+
+        if x.ndim == 4:
+            # spatial (B, Hp, Wp, C) input: fused no-transpose kernel when
+            # eligible, else partition internally and fall through.
+            B, Hp, Wp, C = x.shape
+            kernel_ok = (not train and proj_l is None and proj_w is None
+                         and not self.sow_qkv and _on_tpu()
+                         and Hp % self.window == 0 and Wp % self.window == 0
+                         and N <= 256 and h * N * N * 4 < 6 * 2 ** 20)
+            if kernel_ok:
+                from cream_tpu.ops.pallas.window_attention import (
+                    fused_window_attention)
+                qkv = nn.Dense(3 * h * d, use_bias=self.qkv_bias,
+                               dtype=self.dtype, name="qkv")(x)
+                table = self.param("relative_position_bias_table",
+                                   nn.initializers.truncated_normal(0.02),
+                                   ((2 * self.window - 1) ** 2, h), jnp.float32)
+                idx = relative_position_index(self.window, self.window)
+                bias = table[jnp.asarray(idx.reshape(-1))].reshape(N, N, h)
+                bias = bias.transpose(2, 0, 1)             # (h, N, N)
+                m = None if mask is None else jnp.asarray(mask)
+                if m is not None:
+                    # kernel expects one mask per window position
+                    reps = (Hp // self.window) * (Wp // self.window) // m.shape[0]
+                    if reps > 1:
+                        m = jnp.tile(m, (reps, 1, 1))
+                out = fused_window_attention(qkv, bias, m, window=self.window,
+                                             heads=h, kd=d, dv=d,
+                                             layout="qkv_major")
+                return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+            wx, padded = window_partition(x, self.window)
+            out = self.__call__(wx, mask=mask, proj_l=proj_l, proj_w=proj_w,
+                                train=train)
+            return window_reverse(out, self.window, padded, (Hp, Wp))
+
+        Bn, N, C = x.shape
         qkv = nn.Dense(3 * h * d, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
         qkv = qkv.reshape(Bn, N, 3, h, d).transpose(2, 0, 3, 1, 4)
@@ -115,9 +152,11 @@ class SwinWindowAttention(nn.Module):
 
 
 def swin_attend(x, attn_mod, window: int, shift: int, mask_hw=None,
-                proj_l=None, proj_w=None):
-    """Roll-partition-attend-reverse for one (shifted) window attention pass.
-    x: (B, H, W, C). The shift mask is a host-side constant per (H, W)."""
+                proj_l=None, proj_w=None, train: bool = False):
+    """Roll-(window-attend)-unroll for one (shifted) window attention pass.
+    x: (B, H, W, C). The shift mask is a host-side constant per (H, W).
+    Windowing happens inside attn_mod (fused Pallas kernel on the inference
+    path; jnp partition otherwise)."""
     B, H, W, C = x.shape
     window = min(window, H, W)
     shift = 0 if window >= min(H, W) else shift
@@ -132,9 +171,7 @@ def swin_attend(x, attn_mod, window: int, shift: int, mask_hw=None,
         mask = shifted_window_mask(Hp, Wp, window, shift)
     else:
         mask = None
-    wx, padded = window_partition(x, window)
-    wx = attn_mod(wx, mask=mask, proj_l=proj_l, proj_w=proj_w)
-    x = window_reverse(wx, window, padded, (Hp, Wp))
+    x = attn_mod(x, mask=mask, proj_l=proj_l, proj_w=proj_w, train=train)
     if shift > 0:
         x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
     if (Hp, Wp) != (H, W):

@@ -47,3 +47,98 @@ class TestFusedBiasAttention:
         np.testing.assert_allclose(np.asarray(out),
                                    np.asarray(ref_attention(q, k, v, bias)),
                                    atol=2e-4, rtol=1e-3)
+
+
+from cream_tpu.ops.pallas.window_attention import fused_window_attention
+from cream_tpu.ops.pallas.window_relayout import (window_partition_pallas,
+                                                  window_reverse_pallas)
+from cream_tpu.ops.window import window_partition, window_reverse
+
+
+def ref_window_attention(qkv, bias, window, heads, kd, dv):
+    B, H, W, L = qkv.shape
+    w, p = window_partition(qkv, window)
+    Wn, N, _ = w.shape
+    w = w.reshape(Wn, N, heads, 2 * kd + dv)
+    q, k, v = jnp.split(w, [kd, 2 * kd], axis=-1)
+    a = jnp.einsum("bnhk,bmhk->bhnm", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * (kd ** -0.5)
+    a = jax.nn.softmax(a + bias[None], axis=-1)
+    o = jnp.einsum("bhnm,bmhd->bnhd", a,
+                   v.astype(jnp.float32)).astype(qkv.dtype)
+    return window_reverse(o.reshape(Wn, N, heads * dv), window, p, (H, W))
+
+
+class TestFusedWindowAttention:
+    """The no-transpose NHWC window-attention kernel (windowing in-kernel)."""
+
+    @pytest.mark.parametrize("B,H,W,ws,heads,kd,dv", [
+        (2, 28, 28, 7, 6, 32, 32),     # TinyViT-21M stage 1
+        (2, 14, 14, 14, 12, 32, 32),   # stage 2 (single global window)
+        (1, 7, 7, 7, 18, 32, 32),      # stage 3
+        (1, 14, 21, 7, 3, 16, 32),     # rectangular map, kd != dv
+    ])
+    def test_matches_reference(self, B, H, W, ws, heads, kd, dv):
+        rng = np.random.default_rng(0)
+        L = heads * (2 * kd + dv)
+        qkv = jnp.asarray(rng.standard_normal((B, H, W, L)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws)) * .5,
+                           jnp.float32)
+        got = fused_window_attention(qkv, bias, window=ws, heads=heads, kd=kd,
+                                     dv=dv, interpret=True)
+        want = ref_window_attention(qkv, bias, ws, heads, kd, dv)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_bf16(self):
+        rng = np.random.default_rng(1)
+        qkv = jnp.asarray(rng.standard_normal((2, 14, 14, 6 * 96)),
+                          jnp.bfloat16)
+        bias = jnp.asarray(rng.standard_normal((6, 49, 49)), jnp.float32)
+        got = fused_window_attention(qkv, bias, window=7, heads=6, kd=32,
+                                     dv=32, interpret=True)
+        want = ref_window_attention(qkv, bias, 7, 6, 32, 32)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=5e-2, rtol=5e-2)
+
+
+class TestWindowRelayout:
+    @pytest.mark.parametrize("B,H,W,ws,C", [
+        (2, 28, 28, 7, 192), (3, 14, 14, 7, 64), (1, 24, 24, 12, 96),
+    ])
+    def test_roundtrip(self, B, H, W, ws, C):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+        got = window_partition_pallas(x, ws, interpret=True)
+        want, _ = window_partition(x, ws)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        back = window_reverse_pallas(got, ws, (H, W), interpret=True)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_qkv_major_layout_with_mask(self):
+        """Swin packing ([q all|k all|v all]) + shifted-window additive mask."""
+        rng = np.random.default_rng(2)
+        B, H, W, ws, heads, d = 2, 14, 14, 7, 4, 16
+        L = heads * 3 * d
+        N = ws * ws
+        qkv = jnp.asarray(rng.standard_normal((B, H, W, L)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((heads, N, N)) * .5, jnp.float32)
+        mask = jnp.asarray(
+            np.where(rng.random((4, N, N)) > .7, -100.0, 0.0), jnp.float32)
+        got = fused_window_attention(qkv, bias, mask, window=ws, heads=heads,
+                                     kd=d, dv=d, layout="qkv_major",
+                                     interpret=True)
+        # reference: split per swin packing
+        w, p = window_partition(qkv, ws)
+        Wn = w.shape[0]
+        w = w.reshape(Wn, N, 3, heads, d)
+        q, k, v = w[:, :, 0], w[:, :, 1], w[:, :, 2]
+        a = jnp.einsum("bnhk,bmhk->bhnm", q, k) * (d ** -0.5)
+        a = a + bias[None]
+        a = a.reshape(B, 4, heads, N, N) + mask[None, :, None]
+        a = jax.nn.softmax(a.reshape(Wn, heads, N, N), axis=-1)
+        o = jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(Wn, N, heads * d)
+        want = window_reverse(o, ws, p, (H, W))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)

@@ -129,7 +129,7 @@ class TestNonDivisibleShift:
                       jnp.zeros((2 * 4, 49, 32)))  # 10->14 padded: 4 windows
 
         def run(x):
-            return swin_attend(x, lambda wx, mask, proj_l, proj_w:
+            return swin_attend(x, lambda wx, mask, proj_l, proj_w, train=False:
                                attn.apply(v, wx, mask=mask), 7, 3)
         y = jax.jit(run)(x)
         assert y.shape == x.shape
