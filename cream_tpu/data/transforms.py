@@ -45,20 +45,31 @@ def normalize(img: np.ndarray, cfg: EvalPreprocess) -> np.ndarray:
     return (img - np.asarray(cfg.mean, np.float32)) / np.asarray(cfg.std, np.float32)
 
 
+def resize_size(w: int, h: int, shorter: int) -> tuple:
+    """(new_w, new_h) of torchvision F.resize with an int size: shorter side
+    = size, longer side TRUNCATED via int(size * long / short)."""
+    if w <= h:
+        return shorter, int(shorter * h / w)
+    return int(shorter * w / h), shorter
+
+
+def crop_offsets(nw: int, nh: int, crop: int) -> tuple:
+    """(left, top) of torchvision F.center_crop: int(round((dim-crop)/2))
+    with Python banker's rounding (NOT floor — differs when dim-crop is odd
+    with an even half, e.g. 7 -> 4, while floor gives 3)."""
+    return (int(round((nw - crop) / 2.0)), int(round((nh - crop) / 2.0)))
+
+
 def preprocess_pil(pil_img, cfg: EvalPreprocess) -> np.ndarray:
     """PIL image -> normalized float32 HWC (bicubic shorter-side resize +
-    center crop), matching torchvision Resize+CenterCrop semantics."""
+    center crop), matching torchvision Resize+CenterCrop semantics exactly
+    (size math pinned by tests/test_preprocess_parity.py)."""
     from PIL import Image
 
     w, h = pil_img.size
-    short = cfg.resize_shorter
-    if w <= h:
-        nw, nh = short, max(1, round(h * short / w))
-    else:
-        nw, nh = max(1, round(w * short / h)), short
+    nw, nh = resize_size(w, h, cfg.resize_shorter)
     img = pil_img.convert("RGB").resize((nw, nh), Image.BICUBIC)
-    left = (nw - cfg.crop) // 2
-    top = (nh - cfg.crop) // 2
+    left, top = crop_offsets(nw, nh, cfg.crop)
     img = img.crop((left, top, left + cfg.crop, top + cfg.crop))
     arr = np.asarray(img, np.float32) / 255.0
     return normalize(arr, cfg)
