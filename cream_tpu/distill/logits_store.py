@@ -136,7 +136,7 @@ def check_saved_logits(reader: LogitsReader, teacher_fn, dataset_iter,
     index mismatch rate."""
     import jax.numpy as jnp  # noqa: F401
 
-    n, val_err, idx_diff = 0, 0.0, 0.0
+    n, val_err, idx_diff, idx_miss = 0, 0.0, 0.0, 0.0
     for batch in dataset_iter:
         values, classes, seeds = reader.read_batch(batch["index"])
         probs = teacher_fn(batch["image"])          # (B, C) dense probs
@@ -144,7 +144,14 @@ def check_saved_logits(reader: LogitsReader, teacher_fn, dataset_iter,
         top_idx = np.argsort(-probs, axis=-1)[:, :k]
         top_val = np.take_along_axis(probs, top_idx, axis=-1)
         val_err += float(np.abs(top_val - values).mean()) * len(values)
+        # reference metric (check_logits_one_epoch): elementwise index
+        # equality — inflated by fp16 ties, keep for parity
         idx_diff += float((top_idx != classes).mean()) * len(values)
+        # tie-aware miss: the stored class's RECOMPUTED prob must match its
+        # stored value; order flips between tied probs don't count
+        at_stored = np.take_along_axis(probs, classes.astype(np.int64), -1)
+        idx_miss += float((np.abs(at_stored - values) > atol).mean()) * len(values)
         n += len(values)
     return {"value_abs_err": val_err / max(n, 1),
-            "index_diff_rate": idx_diff / max(n, 1), "n": n}
+            "index_diff_rate": idx_diff / max(n, 1),
+            "index_miss_rate": idx_miss / max(n, 1), "n": n}

@@ -71,3 +71,28 @@ class TestNativeCodec:
             np.testing.assert_array_equal(np.isnan(gv), np.isnan(expect))
             np.testing.assert_array_equal(gv[~np.isnan(expect)],
                                           expect[~np.isnan(expect)])
+
+
+class TestCheckSavedLogits:
+    def test_tie_tolerant_index_miss(self, tmp_path):
+        """Tied fp16 probs stored in swapped order inflate the reference's
+        elementwise index_diff_rate but NOT the tie-aware index_miss_rate."""
+        from cream_tpu.distill.logits_store import check_saved_logits
+        K, C, N = 3, 8, 4
+        probs = np.zeros((N, C), np.float32)
+        probs[:, 0], probs[:, 1], probs[:, 2] = 0.25, 0.25, 0.125  # 0/1 tied
+        probs[:, 3:] = 0.375 / 5
+        # store top-K with the tie pair in the OPPOSITE order vs argsort
+        vals = np.tile(np.asarray([0.25, 0.25, 0.125], np.float32), (N, 1))
+        idxs = np.tile(np.asarray([1, 0, 2], np.int32), (N, 1))
+        seeds = np.arange(N, dtype=np.int32)
+        w = LogitsWriter(str(tmp_path), 0, N, K, C, use_native=False)
+        w.write_batch(np.arange(N), seeds, vals, idxs)
+        w.close()
+        r = LogitsReader(str(tmp_path), 0, use_native=False)
+        out = check_saved_logits(
+            r, lambda img: probs,
+            [{"index": np.arange(N), "image": None}])
+        assert out["index_diff_rate"] > 0.5        # order flip looks bad...
+        assert out["index_miss_rate"] == 0.0       # ...but nothing is wrong
+        assert out["value_abs_err"] < 1e-3
