@@ -32,6 +32,13 @@ class L0Config:
     num_attention_heads: int
     num_hidden_layers: int
     pruning_types: tuple = ("hidden", "heads", "intermediate", "layer")
+    # Ragged towers (a previously-pruned model with per-layer head counts /
+    # MLP widths — the reference l0module is uniform-only, which is why its
+    # multi-stage scripts restart from uniform dims; here a pruned model is a
+    # first-class citizen). When set, the corresponding loga params are
+    # TUPLES of per-layer 1D arrays instead of a single (L, N) array.
+    heads_per_layer: tuple | None = None
+    intermediate_per_layer: tuple | None = None
 
     @property
     def params_per_head(self) -> int:
@@ -45,12 +52,24 @@ class L0Config:
         return per_layer // self.intermediate_size
 
     @property
+    def total_heads(self) -> int:
+        if self.heads_per_layer is not None:
+            return sum(self.heads_per_layer)
+        return self.num_hidden_layers * self.num_attention_heads
+
+    @property
+    def total_intermediate(self) -> int:
+        if self.intermediate_per_layer is not None:
+            return sum(self.intermediate_per_layer)
+        return self.num_hidden_layers * self.intermediate_size
+
+    @property
     def prunable_model_size(self) -> int:
         n = 0
         if "heads" in self.pruning_types or "layer" in self.pruning_types:
-            n += self.params_per_head * self.num_hidden_layers * self.num_attention_heads
+            n += self.params_per_head * self.total_heads
         if "intermediate" in self.pruning_types:
-            n += self.params_per_intermediate_dim * self.num_hidden_layers * self.intermediate_size
+            n += self.params_per_intermediate_dim * self.total_intermediate
         return n
 
 
@@ -62,9 +81,17 @@ def init_l0_params(cfg: L0Config, init_mean: float = 10.0) -> dict:
     if "hidden" in cfg.pruning_types:
         p["hidden_loga"] = jnp.full((W,), init_mean, jnp.float32)
     if "heads" in cfg.pruning_types:
-        p["heads_loga"] = jnp.full((L, H), init_mean, jnp.float32)
+        p["heads_loga"] = tuple(
+            jnp.full((h,), init_mean, jnp.float32)
+            for h in cfg.heads_per_layer) \
+            if cfg.heads_per_layer is not None \
+            else jnp.full((L, H), init_mean, jnp.float32)
     if "intermediate" in cfg.pruning_types:
-        p["intermediate_loga"] = jnp.full((L, I), init_mean, jnp.float32)
+        p["intermediate_loga"] = tuple(
+            jnp.full((i,), init_mean, jnp.float32)
+            for i in cfg.intermediate_per_layer) \
+            if cfg.intermediate_per_layer is not None \
+            else jnp.full((L, I), init_mean, jnp.float32)
     if "layer" in cfg.pruning_types:
         p["mha_loga"] = jnp.full((L,), init_mean, jnp.float32)
         p["ffn_loga"] = jnp.full((L,), init_mean, jnp.float32)
@@ -74,8 +101,11 @@ def init_l0_params(cfg: L0Config, init_mean: float = 10.0) -> dict:
 
 
 def lambda_sign_mask(params: dict) -> dict:
-    """-1 on the lagrangian multipliers, +1 elsewhere (gradient-ascent trick)."""
-    return {k: (-1.0 if k.startswith("lambda") else 1.0) for k in params}
+    """-1 on the lagrangian multipliers, +1 elsewhere (gradient-ascent trick).
+    Mirrors the full pytree structure (ragged loga entries are tuples)."""
+    return {k: jax.tree_util.tree_map(
+        lambda _: -1.0 if k.startswith("lambda") else 1.0, v)
+        for k, v in params.items()}
 
 
 def _cdf_qz0(loga):
@@ -115,10 +145,27 @@ def deterministic_z(loga: jnp.ndarray, soft: bool = True) -> jnp.ndarray:
     return soft_mask
 
 
+def _deterministic_rows(rows) -> tuple:
+    """deterministic_z across ragged per-layer rows with the hard-zero
+    budget computed GLOBALLY (same semantics as the uniform (L, N) array)."""
+    sizes = [int(r.size) for r in rows]
+    nonempty = [r for r in rows if r.size]
+    if not nonempty:
+        return tuple(rows)
+    flat = deterministic_z(jnp.concatenate(nonempty))
+    out, off = [], 0
+    for s in sizes:
+        out.append(flat[off:off + s] if s else jnp.zeros((0,), jnp.float32))
+        off += s
+    return tuple(out)
+
+
 def sample_masks(rng: jax.Array, params: dict, cfg: L0Config,
                  training: bool = True) -> dict:
     """Returns the model-facing mask dict {hidden_z, heads_z, mha_z,
-    intermediate_z, ffn_z} (entries None when that type isn't pruned)."""
+    intermediate_z, ffn_z} (entries None when that type isn't pruned).
+    Ragged loga entries (tuples of per-layer rows) yield tuple masks —
+    `masks[name][i]` indexes identically for both layouts."""
     out = {"hidden_z": None, "heads_z": None, "mha_z": None,
            "intermediate_z": None, "ffn_z": None}
     names = {"hidden_loga": "hidden_z", "heads_loga": "heads_z",
@@ -127,37 +174,62 @@ def sample_masks(rng: jax.Array, params: dict, cfg: L0Config,
     for pname, mname in names.items():
         if pname not in params:
             continue
-        if training:
+        loga = params[pname]
+        if isinstance(loga, (list, tuple)):
+            if training:
+                zs = []
+                for row in loga:
+                    rng, sub = jax.random.split(rng)
+                    zs.append(sample_z(sub, row))
+                out[mname] = tuple(zs)
+            else:
+                out[mname] = _deterministic_rows(loga)
+        elif training:
             rng, sub = jax.random.split(rng)
-            out[mname] = sample_z(sub, params[pname])
+            out[mname] = sample_z(sub, loga)
         else:
-            out[mname] = deterministic_z(params[pname])
+            out[mname] = deterministic_z(loga)
     return out
+
+
+def _score_sums(params: dict, key: str, branch: jnp.ndarray,
+                sizes) -> jnp.ndarray:
+    """sum_i branch[i] * sum(score(loga_row_i)); rows default to all-ones of
+    the per-layer size when the type isn't pruned. Handles both the uniform
+    (L, N) layout and ragged tuples."""
+    if key in params:
+        loga = params[key]
+        rows = list(loga) if isinstance(loga, (list, tuple)) \
+            else [loga[i] for i in range(loga.shape[0])]
+        per_layer = [score_loga(r).sum() if r.size else jnp.asarray(0.0)
+                     for r in rows]
+    else:
+        per_layer = [jnp.asarray(float(s)) for s in sizes]
+    return sum(b * s for b, s in zip(branch, per_layer))
 
 
 def expected_sparsity(params: dict, cfg: L0Config) -> jnp.ndarray:
     """1 - expected-kept-params / prunable size (l0module.py:150-205)."""
-    L, H, I, W = (cfg.num_hidden_layers, cfg.num_attention_heads,
-                  cfg.intermediate_size, cfg.hidden_size)
-    mha = score_loga(params["mha_loga"]).reshape(L, 1) \
-        if "mha_loga" in params else jnp.ones((L, 1))
-    heads = score_loga(params["heads_loga"]) \
-        if "heads_loga" in params else jnp.ones((L, H))
-    ffn = score_loga(params["ffn_loga"]).reshape(L, 1) \
-        if "ffn_loga" in params else jnp.ones((L, 1))
-    inter = score_loga(params["intermediate_loga"]) \
-        if "intermediate_loga" in params else jnp.ones((L, I))
+    L = cfg.num_hidden_layers
+    h_sizes = cfg.heads_per_layer if cfg.heads_per_layer is not None \
+        else [cfg.num_attention_heads] * L
+    i_sizes = cfg.intermediate_per_layer \
+        if cfg.intermediate_per_layer is not None \
+        else [cfg.intermediate_size] * L
+    mha = score_loga(params["mha_loga"]) if "mha_loga" in params \
+        else jnp.ones((L,))
+    ffn = score_loga(params["ffn_loga"]) if "ffn_loga" in params \
+        else jnp.ones((L,))
 
-    heads_score = (heads * mha).reshape(-1)
-    inter_score = (inter * ffn).reshape(-1)
+    heads_score = _score_sums(params, "heads_loga", mha, h_sizes)
+    inter_score = _score_sums(params, "intermediate_loga", ffn, i_sizes)
     if "hidden_loga" in params:
-        hidden = score_loga(params["hidden_loga"])
-        num = (jnp.outer(hidden, heads_score).sum()
-               * cfg.params_per_head / cfg.hidden_size)
-        num += jnp.outer(hidden, inter_score).sum() * 2
+        hidden = score_loga(params["hidden_loga"]).sum()
+        num = hidden * heads_score * cfg.params_per_head / cfg.hidden_size
+        num += hidden * inter_score * 2
     else:
-        num = heads_score.sum() * cfg.params_per_head
-        num += inter_score.sum() * cfg.params_per_intermediate_dim
+        num = heads_score * cfg.params_per_head
+        num += inter_score * cfg.params_per_intermediate_dim
     return 1.0 - num / cfg.prunable_model_size
 
 

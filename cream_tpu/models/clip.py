@@ -109,25 +109,31 @@ class ResidualAttentionBlock(nn.Module):
                  mha_z=None, intermediate_z=None, ffn_z=None):
         from cream_tpu.nn.act import gelu as _gelu
         act = quick_gelu if self.act == "quick_gelu" else _gelu
-        h = MaskedLayerNorm(self.width, dtype=self.dtype, name="ln_1")(x, hidden_z)
-        h = GatedAttention(self.width, self.heads, head_dim=self.head_dim,
-                           dtype=self.dtype,
-                           name="attn")(h, attn_mask, heads_z, hidden_z)
-        if mha_z is not None:
-            h = h * mha_z.astype(self.dtype)
-        x = x + h
+        # heads == 0 / mlp_width == 0 mean the branch was L0-pruned away
+        # entirely (mha_z/ffn_z/all-heads drop): the sublayer is skipped and
+        # owns no params — block-skipping materialization for prune_clip.
+        if self.heads > 0:
+            h = MaskedLayerNorm(self.width, dtype=self.dtype, name="ln_1")(x, hidden_z)
+            h = GatedAttention(self.width, self.heads, head_dim=self.head_dim,
+                               dtype=self.dtype,
+                               name="attn")(h, attn_mask, heads_z, hidden_z)
+            if mha_z is not None:
+                h = h * mha_z.astype(self.dtype)
+            x = x + h
 
-        h = MaskedLayerNorm(self.width, dtype=self.dtype, name="ln_2")(x, hidden_z)
-        h = nn.Dense(self.mlp_width, dtype=self.dtype, name="c_fc")(h)
-        h = act(h)
-        if intermediate_z is not None:
-            h = h * intermediate_z.astype(self.dtype)
-        h = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
-        if hidden_z is not None:
-            h = h * hidden_z.astype(self.dtype)
-        if ffn_z is not None:
-            h = h * ffn_z.astype(self.dtype)
-        return x + h
+        if self.mlp_width > 0:
+            h = MaskedLayerNorm(self.width, dtype=self.dtype, name="ln_2")(x, hidden_z)
+            h = nn.Dense(self.mlp_width, dtype=self.dtype, name="c_fc")(h)
+            h = act(h)
+            if intermediate_z is not None:
+                h = h * intermediate_z.astype(self.dtype)
+            h = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
+            if hidden_z is not None:
+                h = h * hidden_z.astype(self.dtype)
+            if ffn_z is not None:
+                h = h * ffn_z.astype(self.dtype)
+            x = x + h
+        return x
 
 
 def _layer_gates(masks: Optional[dict], i: int) -> dict:
@@ -387,48 +393,58 @@ def _prune_tower(params: dict, masks: dict, layers: int, head_dim: int,
             if masks.get("intermediate_z") is not None else None
         ffn_z = float(masks["ffn_z"][i]) if masks.get("ffn_z") is not None else 1.0
 
-        H = blk["attn"]["in_proj"]["kernel"].shape[1] // (3 * head_dim)
+        # a previously-pruned block may already lack a branch (heads == 0 /
+        # mlp_width == 0): treat it as permanently dropped
+        has_attn, has_ffn = "attn" in blk, "c_fc" in blk
+        H = blk["attn"]["in_proj"]["kernel"].shape[1] // (3 * head_dim) \
+            if has_attn else 0
         head_r = np.where(heads_z != 0)[0] if heads_z is not None else np.arange(H)
-        if len(head_r) == 0 or mha_z == 0.0 or ffn_z == 0.0:
-            raise NotImplementedError(
-                "whole-branch (mha/ffn/all-heads) drops need a block-skipping "
-                "module; not materialized yet")
-        I = blk["c_fc"]["kernel"].shape[1]
+        I = blk["c_fc"]["kernel"].shape[1] if has_ffn else 0
         inter_r = np.where(inter_z != 0)[0] if inter_z is not None else np.arange(I)
-        heads_per_layer.append(len(head_r))
-        mlp_widths.append(len(inter_r))
+        # whole-branch drops (mha_z/ffn_z == 0 or every head/channel gated
+        # off) materialize as heads/mlp_width == 0: the block skips the
+        # sublayer entirely and emits no params for it.
+        drop_attn = not has_attn or mha_z == 0.0 or len(head_r) == 0
+        drop_ffn = not has_ffn or ffn_z == 0.0 or len(inter_r) == 0
+        heads_per_layer.append(0 if drop_attn else len(head_r))
+        mlp_widths.append(0 if drop_ffn else len(inter_r))
+        layer_out: dict = {}
 
-        ipk = np.asarray(blk["attn"]["in_proj"]["kernel"])   # (W, 3*H*hd)
-        ipk = ipk.reshape(W, 3, H, head_dim)[hidden_r][:, :, head_r]
-        ipb = np.asarray(blk["attn"]["in_proj"]["bias"]).reshape(3, H, head_dim)[:, head_r]
-        opk = np.asarray(blk["attn"]["out_proj"]["kernel"])  # (H*hd, W)
-        opk = opk * (1.0 if hz is None else hz[None, :]) * mha_z
-        if heads_z is not None:
-            opk = opk.reshape(H, head_dim, W) * heads_z[:, None, None]
-            opk = opk.reshape(H * head_dim, W)
-        opk = opk.reshape(H, head_dim, W)[head_r][:, :, hidden_r]
-        opb = np.asarray(blk["attn"]["out_proj"]["bias"])
-        opb = (opb * (1.0 if hz is None else hz)) * mha_z
-
-        fck = np.asarray(blk["c_fc"]["kernel"])[hidden_r][:, inter_r]
-        fcb = np.asarray(blk["c_fc"]["bias"])[inter_r]
-        cpk = np.asarray(blk["c_proj"]["kernel"])
-        cpk = cpk * (1.0 if inter_z is None else inter_z[:, None]) \
-            * (1.0 if hz is None else hz[None, :]) * ffn_z
-        cpk = cpk[inter_r][:, hidden_r]
-        cpb = np.asarray(blk["c_proj"]["bias"])
-        cpb = (cpb * (1.0 if hz is None else hz)) * ffn_z
-
-        tr_out[f"resblocks_{i}"] = {
-            "ln_1": ln(blk["ln_1"]), "ln_2": ln(blk["ln_2"]),
-            "attn": {
-                "in_proj": {"kernel": ipk.reshape(new_w, -1), "bias": ipb.reshape(-1)},
+        if not drop_attn:
+            ipk = np.asarray(blk["attn"]["in_proj"]["kernel"])   # (W, 3*H*hd)
+            ipk = ipk.reshape(W, 3, H, head_dim)[hidden_r][:, :, head_r]
+            ipb = np.asarray(blk["attn"]["in_proj"]["bias"]).reshape(3, H, head_dim)[:, head_r]
+            opk = np.asarray(blk["attn"]["out_proj"]["kernel"])  # (H*hd, W)
+            opk = opk * (1.0 if hz is None else hz[None, :]) * mha_z
+            if heads_z is not None:
+                opk = opk.reshape(H, head_dim, W) * heads_z[:, None, None]
+                opk = opk.reshape(H * head_dim, W)
+            opk = opk.reshape(H, head_dim, W)[head_r][:, :, hidden_r]
+            opb = np.asarray(blk["attn"]["out_proj"]["bias"])
+            opb = (opb * (1.0 if hz is None else hz)) * mha_z
+            layer_out["ln_1"] = ln(blk["ln_1"])
+            layer_out["attn"] = {
+                "in_proj": {"kernel": ipk.reshape(new_w, -1),
+                            "bias": ipb.reshape(-1)},
                 "out_proj": {"kernel": opk.reshape(-1, new_w),
                              "bias": opb[hidden_r]},
-            },
-            "c_fc": {"kernel": fck, "bias": fcb},
-            "c_proj": {"kernel": cpk, "bias": cpb[hidden_r]},
-        }
+            }
+
+        if not drop_ffn:
+            fck = np.asarray(blk["c_fc"]["kernel"])[hidden_r][:, inter_r]
+            fcb = np.asarray(blk["c_fc"]["bias"])[inter_r]
+            cpk = np.asarray(blk["c_proj"]["kernel"])
+            cpk = cpk * (1.0 if inter_z is None else inter_z[:, None]) \
+                * (1.0 if hz is None else hz[None, :]) * ffn_z
+            cpk = cpk[inter_r][:, hidden_r]
+            cpb = np.asarray(blk["c_proj"]["bias"])
+            cpb = (cpb * (1.0 if hz is None else hz)) * ffn_z
+            layer_out["ln_2"] = ln(blk["ln_2"])
+            layer_out["c_fc"] = {"kernel": fck, "bias": fcb}
+            layer_out["c_proj"] = {"kernel": cpk, "bias": cpb[hidden_r]}
+
+        if layer_out:
+            tr_out[f"resblocks_{i}"] = layer_out
     out["transformer"] = tr_out
     return out, heads_per_layer, mlp_widths, new_w
 

@@ -92,6 +92,57 @@ class TestPrune:
         # actually smaller
         assert n_params(pv["params"]) < n_params(v["params"])
 
+    def test_whole_branch_drop_matches_masked_forward(self):
+        """mha_z/ffn_z == 0 branches materialize as heads/mlp_width == 0
+        blocks that own no params (block-skipping materialization)."""
+        model, cfg = tiny_clip()
+        img = jax.random.normal(jax.random.key(0), (2, 64, 64, 3))
+        txt = jax.random.randint(jax.random.key(1), (2, 16), 1, 999)
+        v = jit_init(model, img, txt)
+        vm = {"hidden_z": jnp.ones(128),
+              "heads_z": jnp.ones((2, 2)),
+              "mha_z": jnp.ones(2).at[0].set(0.0),     # drop layer-0 attn
+              "intermediate_z": jnp.ones((2, 512)),
+              "ffn_z": jnp.ones(2).at[1].set(0.0)}     # drop layer-1 ffn
+        masked = model.apply(v, img, txt, image_masks=vm)
+        pruned, pv = prune_clip(v, cfg, vm, None)
+        out = pruned.apply(pv, img, txt)
+        np.testing.assert_allclose(np.asarray(masked[0]), np.asarray(out[0]),
+                                   atol=2e-4, rtol=1e-3)
+        assert pruned.vision_heads == [0, 2]
+        assert pruned.vision_mlp_widths[1] == 0
+        blk0 = pv["params"]["visual"]["transformer"]["resblocks_0"]
+        blk1 = pv["params"]["visual"]["transformer"]["resblocks_1"]
+        assert "attn" not in blk0 and "ln_1" not in blk0
+        assert "c_fc" not in blk1 and "ln_2" not in blk1
+
+    def test_reprune_pruned_model(self):
+        """A pruned (ragged) model is a first-class citizen: build a ragged
+        L0Config from its per-layer dims and prune it AGAIN."""
+        model, cfg = tiny_clip()
+        img = jax.random.normal(jax.random.key(0), (2, 64, 64, 3))
+        txt = jax.random.randint(jax.random.key(1), (2, 16), 1, 999)
+        v = jit_init(model, img, txt)
+        vm = {"hidden_z": jnp.ones(128).at[100:].set(0.0),
+              "heads_z": jnp.ones((2, 2)).at[0, 1].set(0.0),
+              "mha_z": None,
+              "intermediate_z": jnp.ones((2, 512)).at[:, 300:].set(0.0),
+              "ffn_z": None}
+        m1, v1 = prune_clip(v, cfg, vm, None)
+        rag = L0Config(hidden_size=m1.cfg.vision_width,
+                       intermediate_size=m1.cfg.vision_width * 4,
+                       num_attention_heads=2, num_hidden_layers=2,
+                       pruning_types=("heads", "intermediate"),
+                       heads_per_layer=tuple(m1.vision_heads),
+                       intermediate_per_layer=tuple(m1.vision_mlp_widths))
+        p = init_l0_params(rag, init_mean=-10.0)   # drop almost everything
+        masks = sample_masks(jax.random.key(2), p, rag, training=False)
+        m2, v2 = prune_clip(v1, m1.cfg, masks, None)
+        out = m2.apply(v2, img, txt)
+        assert np.isfinite(np.asarray(out[0])).all()
+        assert n_params(v2["params"]) < n_params(v1["params"]) \
+            < n_params(v["params"])
+
 
 class TestL0:
     def test_sparsity_monotone_in_loga(self):
@@ -118,6 +169,30 @@ class TestL0:
         assert float(m["hidden_z"].min()) >= 0 and float(m["hidden_z"].max()) <= 1
         md = sample_masks(jax.random.key(0), p, cfg, training=False)
         assert md["heads_z"].shape == (2, 2)
+
+    def test_ragged_l0(self):
+        """Per-layer (ragged) gate sizes: tuple loga params, tuple masks,
+        finite monotone sparsity; zero-size rows (dropped branches) legal."""
+        cfg = L0Config(hidden_size=100, intermediate_size=400,
+                       num_attention_heads=2, num_hidden_layers=2,
+                       pruning_types=("heads", "intermediate"),
+                       heads_per_layer=(0, 2),
+                       intermediate_per_layer=(100, 300))
+        p = init_l0_params(cfg, init_mean=2.0)
+        assert isinstance(p["heads_loga"], tuple)
+        assert p["heads_loga"][0].shape == (0,)
+        assert p["intermediate_loga"][1].shape == (300,)
+        m = sample_masks(jax.random.key(0), p, cfg, training=True)
+        assert m["heads_z"][1].shape == (2,)
+        md = sample_masks(jax.random.key(0), p, cfg, training=False)
+        assert md["intermediate_z"][0].shape == (100,)
+        s_keep = expected_sparsity(init_l0_params(cfg, 10.0), cfg)
+        s_drop = expected_sparsity(init_l0_params(cfg, -10.0), cfg)
+        assert float(s_keep) < 0.01 and float(s_drop) > 0.95
+        # sign mask mirrors the ragged structure
+        sg = lambda_sign_mask(p)
+        assert isinstance(sg["heads_loga"], tuple)
+        assert sg["lambda_1"] == -1.0
 
     def test_lambda_sign_mask(self):
         cfg = L0Config(hidden_size=16, intermediate_size=32,
