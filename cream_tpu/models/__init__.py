@@ -11,3 +11,5 @@ from cream_tpu.models import swin  # noqa: F401
 from cream_tpu.models import mini_deit  # noqa: F401
 from cream_tpu.models import cream  # noqa: F401
 from cream_tpu.models import darts  # noqa: F401
+from cream_tpu.models import resnet  # noqa: F401
+from cream_tpu.models import detr  # noqa: F401

@@ -1,0 +1,185 @@
+"""DETR set-prediction losses: box ops, Hungarian matching, criterion.
+
+TPU-native rebuild of iRPE/DETR-with-iRPE/models/{matcher.py,detr.py:83-287}
+and util/box_ops.py. Design differences:
+
+  * targets are PADDED dense tensors — boxes (B, M, 4) cxcywh in [0,1],
+    labels (B, M), valid (B, M) bool — so every jitted piece has static
+    shapes (the reference uses ragged per-image lists).
+  * the (B, Q, M) cost tensor is computed in one jitted call; only the
+    O(Q*M) scipy linear_sum_assignment runs host-side per image (exactly
+    what the reference does with its .cpu() split, matcher.py:78-81).
+  * losses consume the match as an `assign` (B, M) query-index tensor and
+    are fully jittable (scatter instead of python-index permutation).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def box_cxcywh_to_xyxy(b):
+    """util/box_ops.py:10-14."""
+    cx, cy, w, h = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate(
+        [cx - 0.5 * w, cy - 0.5 * h, cx + 0.5 * w, cy + 0.5 * h], -1)
+
+
+def box_xyxy_to_cxcywh(b):
+    x0, y0, x1, y1 = jnp.split(b, 4, axis=-1)
+    return jnp.concatenate(
+        [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0], -1)
+
+
+def box_area(b):
+    return (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+
+
+def box_iou(a, b):
+    """Pairwise IoU of xyxy boxes (..., N, 4) x (..., M, 4) ->
+    (iou, union) each (..., N, M) (util/box_ops.py:18-33)."""
+    area_a, area_b = box_area(a), box_area(b)
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[..., :, None] + area_b[..., None, :] - inter
+    return inter / union, union
+
+
+def generalized_box_iou(a, b):
+    """Pairwise GIoU (util/box_ops.py:36-59): IoU - hull_slack."""
+    iou, union = box_iou(a, b)
+    lt = jnp.minimum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.maximum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    hull = wh[..., 0] * wh[..., 1]
+    return iou - (hull - union) / hull
+
+
+BIG = 1e8
+
+
+def matching_cost(pred_logits, pred_boxes, tgt_boxes, tgt_labels, tgt_valid,
+                  cost_class: float = 1.0, cost_bbox: float = 5.0,
+                  cost_giou: float = 2.0):
+    """Jitted (B, Q, M) assignment-cost tensor (matcher.py:60-77); invalid
+    target columns get +BIG so the host assignment ignores them."""
+    prob = jax.nn.softmax(pred_logits, -1)                    # (B, Q, C+1)
+    c_class = -jnp.take_along_axis(
+        prob, tgt_labels[:, None, :].astype(jnp.int32), -1)   # (B, Q, M)
+    c_bbox = jnp.abs(pred_boxes[:, :, None, :]
+                     - tgt_boxes[:, None, :, :]).sum(-1)
+    c_giou = -generalized_box_iou(box_cxcywh_to_xyxy(pred_boxes),
+                                  box_cxcywh_to_xyxy(tgt_boxes))
+    C = cost_bbox * c_bbox + cost_class * c_class + cost_giou * c_giou
+    return jnp.where(tgt_valid[:, None, :], C, BIG)
+
+
+def hungarian_assign(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side per-image linear_sum_assignment restricted to valid target
+    columns. Returns assign (B, M) int32: query matched to target j (0 where
+    invalid — guard with `valid`)."""
+    from scipy.optimize import linear_sum_assignment
+
+    B, Q, M = cost.shape
+    assign = np.zeros((B, M), np.int32)
+    for i in range(B):
+        cols = np.where(valid[i])[0]
+        if len(cols) == 0:
+            continue
+        r, c = linear_sum_assignment(cost[i][:, cols])
+        assign[i, cols[c]] = r
+    return assign
+
+
+def detection_loss(outputs: dict, tgt_boxes, tgt_labels, tgt_valid, assign,
+                   num_classes: int, eos_coef: float = 0.1,
+                   num_boxes=None):
+    """SetCriterion losses for one output set (detr.py:108-163): weighted CE
+    over all queries (no-object class = num_classes, weight eos_coef), L1 +
+    GIoU over matched pairs, cardinality error. All jittable."""
+    logits, boxes = outputs["pred_logits"], outputs["pred_boxes"]
+    B, Q = logits.shape[:2]
+    if num_boxes is None:
+        num_boxes = jnp.maximum(tgt_valid.sum(), 1.0)
+
+    # scatter matched labels into a (B, Q) class map (default: no-object);
+    # invalid slots point out-of-range and are dropped, so they can never
+    # collide with a real match on the same query
+    target_classes = jnp.full((B, Q), num_classes, jnp.int32)
+    bidx = jnp.arange(B)[:, None]
+    safe_assign = jnp.where(tgt_valid, assign, Q)
+    target_classes = target_classes.at[bidx, safe_assign].set(
+        tgt_labels.astype(jnp.int32), mode="drop")
+
+    empty_w = jnp.ones((num_classes + 1,)).at[num_classes].set(eos_coef)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    nll = -jnp.take_along_axis(logp, target_classes[..., None], -1)[..., 0]
+    w = empty_w[target_classes]
+    loss_ce = (nll * w).sum() / w.sum()           # torch CE 'mean' weighting
+
+    src_boxes = boxes[bidx, assign]               # (B, M, 4)
+    l1 = jnp.abs(src_boxes - tgt_boxes).sum(-1)
+    loss_bbox = jnp.where(tgt_valid, l1, 0.0).sum() / num_boxes
+    giou = generalized_box_iou(
+        box_cxcywh_to_xyxy(src_boxes), box_cxcywh_to_xyxy(tgt_boxes))
+    diag = jnp.diagonal(giou, axis1=-2, axis2=-1)
+    loss_giou = jnp.where(tgt_valid, 1.0 - diag, 0.0).sum() / num_boxes
+
+    card_pred = (logits.argmax(-1) != num_classes).sum(-1)
+    card_err = jnp.abs(card_pred.astype(jnp.float32)
+                       - tgt_valid.sum(-1).astype(jnp.float32)).mean()
+    return {"loss_ce": loss_ce, "loss_bbox": loss_bbox,
+            "loss_giou": loss_giou, "cardinality_error": card_err}
+
+
+def criterion(outputs: dict, tgt_boxes, tgt_labels, tgt_valid,
+              num_classes: int, eos_coef: float = 0.1,
+              weight_dict: dict | None = None,
+              cost_class: float = 1.0, cost_bbox: float = 5.0,
+              cost_giou: float = 2.0):
+    """Full SetCriterion: match (host) + losses for the final and aux
+    outputs, combined with the reference weight dict (detr.py:380-389:
+    ce 1, bbox 5, giou 2, aux suffixed _i)."""
+    if weight_dict is None:
+        weight_dict = {"loss_ce": 1.0, "loss_bbox": 5.0, "loss_giou": 2.0}
+
+    def match(out):
+        C = matching_cost(out["pred_logits"], out["pred_boxes"], tgt_boxes,
+                          tgt_labels, tgt_valid, cost_class, cost_bbox,
+                          cost_giou)
+        return hungarian_assign(np.asarray(jax.device_get(C)),
+                                np.asarray(jax.device_get(tgt_valid)))
+
+    num_boxes = jnp.maximum(tgt_valid.sum().astype(jnp.float32), 1.0)
+    losses = detection_loss(outputs, tgt_boxes, tgt_labels, tgt_valid,
+                            jnp.asarray(match(outputs)), num_classes,
+                            eos_coef, num_boxes)
+    total = sum(losses[k] * w for k, w in weight_dict.items()
+                if k in losses)
+    for i, aux in enumerate(outputs.get("aux_outputs", [])):
+        aux_l = detection_loss(aux, tgt_boxes, tgt_labels, tgt_valid,
+                               jnp.asarray(match(aux)), num_classes,
+                               eos_coef, num_boxes)
+        total = total + sum(aux_l[k] * w for k, w in weight_dict.items()
+                            if k in aux_l)
+        losses.update({f"{k}_{i}": v for k, v in aux_l.items()})
+    losses["total"] = total
+    return losses
+
+
+def post_process(outputs: dict, target_sizes) -> list[dict]:
+    """Convert to per-image xyxy detections in absolute pixels
+    (detr.py:258-287). target_sizes: (B, 2) (h, w)."""
+    logits, boxes = outputs["pred_logits"], outputs["pred_boxes"]
+    prob = jax.nn.softmax(logits, -1)
+    scores = prob[..., :-1].max(-1)
+    labels = prob[..., :-1].argmax(-1)
+    xy = box_cxcywh_to_xyxy(boxes)
+    h, w = target_sizes[:, 0], target_sizes[:, 1]
+    scale = jnp.stack([w, h, w, h], -1)[:, None, :]
+    xy = xy * scale
+    return [{"scores": scores[i], "labels": labels[i], "boxes": xy[i]}
+            for i in range(logits.shape[0])]

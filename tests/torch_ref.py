@@ -175,3 +175,63 @@ def load_ref_module(relpath: str, name: str):
 
 def state_dict_numpy(model) -> dict:
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def install_torchvision_stub():
+    """Minimal torchvision stub for DETR's util.misc / util.box_ops."""
+    if "torchvision" in sys.modules:
+        return
+    tv = types.ModuleType("torchvision")
+    tv.__version__ = "0.15.0"
+    tv._is_tracing = lambda: False
+    ops = types.ModuleType("torchvision.ops")
+    boxes = types.ModuleType("torchvision.ops.boxes")
+
+    def box_area(b):
+        return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+    boxes.box_area = box_area
+    ops.boxes = boxes
+    misc = types.ModuleType("torchvision.ops.misc")
+    ops.misc = misc
+    tv.ops = ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.ops.boxes"] = boxes
+    sys.modules["torchvision.ops.misc"] = misc
+
+
+_DETR_ROOT = f"{REFERENCE}/iRPE/DETR-with-iRPE"
+
+
+def load_detr_rpe_attention():
+    """Import the reference rpe_attention package (torch-only)."""
+    install_easydict_stub()
+    if "rpe_attention" in sys.modules:
+        return sys.modules["rpe_attention"]
+    pkg_dir = f"{_DETR_ROOT}/models/rpe_attention"
+    spec = importlib.util.spec_from_file_location(
+        "rpe_attention", f"{pkg_dir}/__init__.py",
+        submodule_search_locations=[pkg_dir])
+    pkg = importlib.util.module_from_spec(spec)
+    sys.modules["rpe_attention"] = pkg
+    spec.loader.exec_module(pkg)
+    return pkg
+
+
+def load_detr_module(name: str):
+    """Import a DETR-root module ('models.transformer', 'models.matcher',
+    'util.box_ops', ...) with its sibling packages resolvable."""
+    install_easydict_stub()
+    install_torchvision_stub()
+    if _DETR_ROOT not in sys.path:
+        sys.path.insert(0, _DETR_ROOT)
+    # the DETR models/__init__ imports the full detection stack; shadow it
+    # with a namespace package so only the requested submodule executes
+    for pkg_name in ("models", "util"):
+        if pkg_name not in sys.modules:
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = [f"{_DETR_ROOT}/{pkg_name}"]
+            sys.modules[pkg_name] = pkg
+    sys.modules.setdefault("models.rpe_attention", load_detr_rpe_attention())
+    return importlib.import_module(name)
