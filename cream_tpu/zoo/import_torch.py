@@ -460,3 +460,33 @@ def convert_efficientvit(sd: Mapping[str, np.ndarray],
             b.bn(sd, "head_dist.bn", "head_dist/bn")
             b.dense(sd, "head_dist.l", "head_dist/linear")
     return b.variables()
+
+
+def convert_clip_resnet_tower(sd: Mapping[str, np.ndarray],
+                              layers=(3, 4, 6, 3)) -> dict:
+    """OpenAI-CLIP ModifiedResNet image tower state_dict -> flax variables
+    (models/resnet.py:ModifiedResNet; reference
+    TinyCLIP/src/open_clip/resnet.py:96-190). Accepts both bare tower dicts
+    and full CLIP dicts with a 'visual.' prefix."""
+    if any(k.startswith("visual.") for k in sd):
+        sd = {k[len("visual."):]: v for k, v in sd.items()
+              if k.startswith("visual.")}
+    b = _TreeBuilder()
+    for i in (1, 2, 3):
+        b.raw(_conv(sd[f"conv{i}.weight"]), f"conv{i}/kernel")
+        b.bn(sd, f"bn{i}", f"bn{i}")
+    for li, blocks in enumerate(layers, start=1):
+        for bi in range(blocks):
+            tp, fp = f"layer{li}.{bi}", f"layer{li}_{bi}"
+            for c in (1, 2, 3):
+                b.raw(_conv(sd[f"{tp}.conv{c}.weight"]), f"{fp}/conv{c}/kernel")
+                b.bn(sd, f"{tp}.bn{c}", f"{fp}/bn{c}")
+            if f"{tp}.downsample.0.weight" in sd:
+                b.raw(_conv(sd[f"{tp}.downsample.0.weight"]),
+                      f"{fp}/downsample_conv/kernel")
+                b.bn(sd, f"{tp}.downsample.1", f"{fp}/downsample_bn")
+    b.raw(sd["attnpool.positional_embedding"],
+          "attnpool/positional_embedding")
+    for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        b.dense(sd, f"attnpool.{p}", f"attnpool/{p}")
+    return b.variables()
