@@ -1,0 +1,127 @@
+"""Detection ops: NMS and RoIAlign, TPU-native.
+
+Rebuilds the mmdet CUDA ops the reference vendors for its detection
+downstreams (CDARTS/CDARTS_detection/mmdet/ops/{nms,roi_align}/src/*.cu)
+as jittable static-shape XLA programs:
+
+  * nms — the greedy sweep over a precomputed (N, N) IoU matrix via
+    lax.scan (the CUDA kernel's bitmask blocks do the same O(N^2) work);
+    returns FIXED-SIZE indices + a validity mask instead of a dynamic list.
+    `legacy_plus1=True` reproduces mmdet's pixel convention
+    (w = x2 - x1 + 1, nms_kernel.cu:devIoU).
+  * roi_align — fully vectorized bilinear sampling; exact port of
+    roi_align_kernel.cu semantics: roi_end = (coord + 1) * spatial_scale
+    (legacy mode), bins sampled at (i + .5)/n offsets, out-of-map points
+    contribute 0, boundary clamping matches the kernel. Gradients come from
+    AD over the gather weights (replacing the atomic-add backward kernel).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def iou_matrix(a: jnp.ndarray, b: jnp.ndarray,
+               legacy_plus1: bool = False) -> jnp.ndarray:
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""
+    off = 1.0 if legacy_plus1 else 0.0
+    area = lambda x: (x[:, 2] - x[:, 0] + off) * (x[:, 3] - x[:, 1] + off)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt + off, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / (area(a)[:, None] + area(b)[None, :] - inter)
+
+
+@functools.partial(jax.jit, static_argnames=("max_outputs", "legacy_plus1"))
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+        max_outputs: int, legacy_plus1: bool = False):
+    """Greedy NMS. Returns (indices (max_outputs,) into the ORIGINAL boxes,
+    valid (max_outputs,) bool), highest-score first. Static shapes: callers
+    pad/truncate to max_outputs (mmdet's dynamic keep-list is host logic)."""
+    N = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    sb = boxes[order]
+    iou = iou_matrix(sb, sb, legacy_plus1)
+    rng_n = jnp.arange(N)
+
+    def body(keep, i):
+        sup = (iou[i] > iou_threshold) & (rng_n > i) & keep[i]
+        return keep & ~sup, None
+
+    keep, _ = lax.scan(body, jnp.ones((N,), bool), rng_n)
+    # kept entries first, already in descending-score order
+    rank = jnp.argsort(jnp.where(keep, rng_n, N + rng_n))[:max_outputs]
+    return order[rank], keep[rank]
+
+
+def _bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray
+              ) -> jnp.ndarray:
+    """img (H, W, C); y/x (...,) sample points with roi_align_kernel.cu
+    boundary semantics. Returns (..., C)."""
+    H, W = img.shape[:2]
+    inside = (y >= -1.0) & (y <= H) & (x >= -1.0) & (x <= W)
+    y = jnp.clip(y, 0.0)
+    x = jnp.clip(x, 0.0)
+    y_low = jnp.minimum(y.astype(jnp.int32), H - 1)
+    x_low = jnp.minimum(x.astype(jnp.int32), W - 1)
+    y = jnp.where(y_low >= H - 1, y_low.astype(y.dtype), y)
+    x = jnp.where(x_low >= W - 1, x_low.astype(x.dtype), x)
+    y_high = jnp.minimum(y_low + 1, H - 1)
+    x_high = jnp.minimum(x_low + 1, W - 1)
+    ly, lx = y - y_low, x - x_low
+    hy, hx = 1.0 - ly, 1.0 - lx
+    g = lambda yy, xx: img[yy, xx]
+    val = (hy * hx)[..., None] * g(y_low, x_low) \
+        + (hy * lx)[..., None] * g(y_low, x_high) \
+        + (ly * hx)[..., None] * g(y_high, x_low) \
+        + (ly * lx)[..., None] * g(y_high, x_high)
+    return jnp.where(inside[..., None], val, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "sample_num",
+                                             "legacy_plus1"))
+def roi_align(features: jnp.ndarray, rois: jnp.ndarray, out_size: tuple,
+              spatial_scale: float, sample_num: int = 2,
+              legacy_plus1: bool = True) -> jnp.ndarray:
+    """features (B, H, W, C) NHWC; rois (R, 5) [batch_idx, x1, y1, x2, y2]
+    in input-image coordinates. Returns (R, ph, pw, C).
+
+    legacy_plus1=True is the vendored mmdet convention
+    (roi_align_kernel.cu:80-83: roi_end = (coord + 1) * scale); False gives
+    the modern aligned=False torchvision behavior (end = coord * scale).
+    sample_num must be > 0 (mmdet configs use 2); the adaptive ceil() mode
+    is data-dependent and unjittable by design."""
+    assert sample_num > 0, "adaptive sample_num=0 is not supported under jit"
+    ph, pw = out_size
+    R = rois.shape[0]
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    off = 1.0 if legacy_plus1 else 0.0
+    x1 = rois[:, 1] * spatial_scale
+    y1 = rois[:, 2] * spatial_scale
+    x2 = (rois[:, 3] + off) * spatial_scale
+    y2 = (rois[:, 4] + off) * spatial_scale
+    roi_w = jnp.maximum(x2 - x1, 0.0)
+    roi_h = jnp.maximum(y2 - y1, 0.0)
+    bin_h = roi_h / ph
+    bin_w = roi_w / pw
+
+    iy = (jnp.arange(sample_num) + 0.5) / sample_num          # (s,)
+    grid_y = (y1[:, None, None] + (jnp.arange(ph)[None, :, None]
+              + iy[None, None, :]) * bin_h[:, None, None])    # (R, ph, s)
+    grid_x = (x1[:, None, None] + (jnp.arange(pw)[None, :, None]
+              + iy[None, None, :]) * bin_w[:, None, None])    # (R, pw, s)
+
+    def one_roi(b, gy, gx):
+        img = features[b]                                     # (H, W, C)
+        yy = gy[:, None, :, None]                             # (ph,1,s,1)
+        xx = gx[None, :, None, :]                             # (1,pw,1,s)
+        Y = jnp.broadcast_to(yy, (ph, pw, sample_num, sample_num))
+        X = jnp.broadcast_to(xx, (ph, pw, sample_num, sample_num))
+        vals = _bilinear(img, Y, X)                           # (ph,pw,s,s,C)
+        return vals.mean(axis=(2, 3))
+
+    return jax.vmap(one_roi)(batch_idx, grid_y, grid_x)
