@@ -12,6 +12,7 @@ process-per-device (the torch.distributed.launch equivalent is: nothing).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -120,11 +121,15 @@ def main(argv=None):
 
     max_acc = 0.0
     nan_count = 0
-    tb_writer = None
-    if cfg.train.tensorboard:
-        import tensorflow as tf
-        tb_writer = tf.summary.create_file_writer(
-            f"{cfg.output}/{cfg.model.name}/{cfg.tag}/tb")
+    scalar_log = None
+    if cfg.train.tensorboard or cfg.train.wandb_project:
+        from cream_tpu.train.metrics import ScalarLogger
+        scalar_log = ScalarLogger(
+            logdir=f"{cfg.output}/{cfg.model.name}/{cfg.tag}/tb",
+            tensorboard=cfg.train.tensorboard,
+            wandb_project=cfg.train.wandb_project or None,
+            wandb_config=dataclasses.asdict(cfg) if cfg.train.wandb_project
+            else None)
     for epoch in range(start_epoch, cfg.train.epochs):
         logger = MetricLogger()
         t0 = time.time()
@@ -177,12 +182,10 @@ def main(argv=None):
                         "NaN-loss budget exhausted — aborting (see "
                         "train.nan_budget)")
             logger.update(**{k: float(v) for k, v in metrics.items()})
-            if tb_writer is not None and i % 20 == 0:
-                import tensorflow as tf
-                with tb_writer.as_default():
-                    for k, v in metrics.items():
-                        tf.summary.scalar(f"train/{k}", float(v),
-                                          step=int(state.step))
+            if scalar_log is not None and i % 20 == 0:
+                scalar_log.log(int(state.step),
+                               **{f"train/{k}": float(v)
+                                  for k, v in metrics.items()})
             if i % 50 == 0:
                 print(f"epoch {epoch} [{i}/{steps_per_epoch}] {logger} "
                       f"lr={float(sched(state.step)):.2e}")

@@ -102,6 +102,7 @@ class TrainConfig:
     # 87-89); N>0 tolerates a budget like TinyCLIP (train.py:86 NAN_LOSS_CNT)
     nan_budget: int = 10
     tensorboard: bool = False
+    wandb_project: str = ""
 
 
 @dataclass

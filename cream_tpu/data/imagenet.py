@@ -92,6 +92,48 @@ class ZipImageFolder:
         return self.reader.read_image(name), label
 
 
+class IN22KDataset:
+    """ImageNet-22k in TinyViT's layout (data/imagenet22k_dataset.py:14-68):
+    `data_root/in22k_image_names.txt` lists image ids 'nXXXXXXXX_NNNN';
+    each class lives in its own `data_root/nXXXXXXXX.zip` whose members are
+    `{id}.jpeg`. Class ids = sorted wnid order (the 22k->1k remap in
+    zoo/remap.py keys off the same ordering)."""
+
+    def __init__(self, data_root: str, fname_format: str = "{}.jpeg"):
+        self.data_root = data_root
+        self.fname_format = fname_format
+        info = os.path.join(data_root, "in22k_image_names.txt")
+        folders: dict[str, list[str]] = {}
+        with open(info) as fh:
+            for iname in fh:
+                iname = iname.strip()
+                if not iname:
+                    continue
+                folders.setdefault(iname[:iname.index("_")], []).append(iname)
+        class_names = sorted(folders)
+        self.nb_classes = len(class_names)
+        self.class_to_idx = {c: i for i, c in enumerate(class_names)}
+        self.samples = [(iname, cid)
+                        for cid, cname in enumerate(class_names)
+                        for iname in folders[cname]]
+        self._readers: dict[str, ZipReader] = {}
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load(self, i: int) -> tuple[Image.Image, int]:
+        iname, label = self.samples[i]
+        cls = iname[:iname.index("_")]
+        reader = self._readers.get(cls)
+        if reader is None:
+            reader = self._readers[cls] = ZipReader(
+                os.path.join(self.data_root, cls + ".zip"))
+        return reader.read_image(self.fname_format.format(iname)), label
+
+    def get_keys(self) -> list[str]:
+        return [s[0] for s in self.samples]
+
+
 class SyntheticDataset:
     """Deterministic random images; for smoke tests and throughput harnesses."""
 

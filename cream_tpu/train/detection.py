@@ -183,3 +183,25 @@ def post_process(outputs: dict, target_sizes) -> list[dict]:
     xy = xy * scale
     return [{"scores": scores[i], "labels": labels[i], "boxes": xy[i]}
             for i in range(logits.shape[0])]
+
+
+def sigmoid_focal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                       gamma: float = 2.0, alpha: float = 0.25
+                       ) -> jnp.ndarray:
+    """Per-element focal loss, exact port of the vendored mmdet kernel
+    (mmdet/ops/sigmoid_focal_loss/src/sigmoid_focal_loss_cuda.cu:20-49):
+    logits (N, C); targets (N,) with class ids 1..C, 0 = background (every
+    class column is a negative), <0 = ignored. Returns (N, C); gradients
+    come from AD (replacing the handwritten backward kernel)."""
+    N, C = logits.shape
+    t = targets[:, None]
+    d = jnp.arange(C)[None, :]
+    pos = (t == d + 1).astype(logits.dtype)
+    neg = ((t >= 0) & (t != d + 1)).astype(logits.dtype)
+    p = jax.nn.sigmoid(logits)
+    # log(p) / log(1-p) in the kernel's overflow-safe forms
+    term1 = (1.0 - p) ** gamma * jnp.log(jnp.maximum(p, 1e-38))
+    term2 = p ** gamma * (-logits * (logits >= 0)
+                          - jnp.log1p(jnp.exp(logits - 2.0 * logits
+                                              * (logits >= 0))))
+    return -pos * term1 * alpha - neg * term2 * (1.0 - alpha)

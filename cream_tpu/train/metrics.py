@@ -76,3 +76,58 @@ def topk_accuracy_counts(metrics_list: list[dict]) -> dict:
     return {"acc1": 100.0 * tot["correct1"] / n,
             "acc5": 100.0 * tot["correct5"] / n,
             "loss": tot["loss_sum"] / n, "n": int(tot["n"])}
+
+
+class ScalarLogger:
+    """Scalar multiplexer over tensorboard / wandb / JSONL backends — the
+    reference projects' writer + wandb.log pairs (TinyCLIP
+    training/train.py:292-303, Swin-style SummaryWriter use) behind one
+    interface. Every backend is optional; wandb degrades to the JSONL file
+    with a warning when the package is missing (it is not baked into this
+    image)."""
+
+    def __init__(self, logdir: str | None = None, tensorboard: bool = False,
+                 wandb_project: str | None = None, wandb_config=None,
+                 jsonl: str | None = None):
+        self._tb = None
+        self._wandb = None
+        self._jsonl = None
+        if tensorboard and logdir:
+            import tensorflow as tf
+            self._tb = tf.summary.create_file_writer(logdir)
+        if wandb_project:
+            try:
+                import wandb
+                wandb.init(project=wandb_project, config=wandb_config,
+                           dir=logdir)
+                self._wandb = wandb
+            except ImportError:
+                import warnings
+                warnings.warn("wandb not installed; logging scalars to "
+                              "JSONL instead")
+                jsonl = jsonl or (f"{logdir}/wandb_fallback.jsonl"
+                                  if logdir else "scalars.jsonl")
+        if jsonl:
+            import os
+            os.makedirs(os.path.dirname(jsonl) or ".", exist_ok=True)
+            self._jsonl = open(jsonl, "a")
+
+    def log(self, step: int, **scalars):
+        scalars = {k: float(v) for k, v in scalars.items()}
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(k, v, step=step)
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=step)
+        if self._jsonl is not None:
+            import json
+            self._jsonl.write(json.dumps({"step": step, **scalars}) + "\n")
+            self._jsonl.flush()
+
+    def close(self):
+        if self._wandb is not None:
+            self._wandb.finish()
+        if self._jsonl is not None:
+            self._jsonl.close()

@@ -141,3 +141,27 @@ class TestRoIAlign:
         g = jax.grad(f)(feats)
         assert float(jnp.abs(g).sum()) > 0
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSigmoidFocalLoss:
+    def test_matches_kernel_semantics(self):
+        """Exact port of sigmoid_focal_loss_cuda.cu: targets are 1..C class
+        ids, 0 = all-negative, <0 = ignored."""
+        from cream_tpu.train.detection import sigmoid_focal_loss
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((6, 4)).astype(np.float32)
+        t = np.asarray([0, 1, 4, 2, -1, 3])
+        out = np.asarray(sigmoid_focal_loss(jnp.asarray(x), jnp.asarray(t)))
+        p = 1 / (1 + np.exp(-x))
+        ref = np.zeros_like(x)
+        for n in range(6):
+            for d in range(4):
+                if t[n] == d + 1:
+                    ref[n, d] = -0.25 * (1 - p[n, d]) ** 2 * np.log(p[n, d])
+                elif t[n] >= 0:
+                    ref[n, d] = -0.75 * p[n, d] ** 2 * np.log(1 - p[n, d])
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+        assert (out[4] == 0).all()                 # ignored row
+        g = jax.grad(lambda l: sigmoid_focal_loss(l, jnp.asarray(t)).sum())(
+            jnp.asarray(x))
+        assert np.isfinite(np.asarray(g)).all()

@@ -116,3 +116,46 @@ class TestProfiling:
             with t:
                 pass
         assert len(t.times) == 2 and t.mean >= 0
+
+
+class TestIN22KDataset:
+    def test_layout_and_loading(self, tmp_path):
+        import zipfile
+        from PIL import Image as PILImage
+        from cream_tpu.data.imagenet import IN22KDataset
+        names = []
+        for cls, n_img in (("n00000001", 2), ("n00000002", 1)):
+            with zipfile.ZipFile(tmp_path / f"{cls}.zip", "w") as zf:
+                for i in range(n_img):
+                    iname = f"{cls}_{i}"
+                    names.append(iname)
+                    import io
+                    buf = io.BytesIO()
+                    PILImage.new("RGB", (8, 8), (i * 40, 0, 0)).save(
+                        buf, "JPEG")
+                    zf.writestr(f"{iname}.jpeg", buf.getvalue())
+        (tmp_path / "in22k_image_names.txt").write_text(
+            "\n".join(reversed(names)) + "\n")      # order must not matter
+        ds = IN22KDataset(str(tmp_path))
+        assert ds.nb_classes == 2 and len(ds) == 3
+        img, label = ds.load(0)
+        assert label == 0 and img.size == (8, 8)
+        _, l2 = ds.load(2)
+        assert l2 == 1
+        assert ds.get_keys()[0].startswith("n00000001_")
+
+
+class TestScalarLogger:
+    def test_jsonl_backend_and_wandb_fallback(self, tmp_path):
+        import json
+        from cream_tpu.train.metrics import ScalarLogger
+        with pytest.warns(UserWarning, match="wandb not installed"):
+            lg = ScalarLogger(logdir=str(tmp_path),
+                              wandb_project="missing-package")
+        lg.log(1, loss=0.5, acc=10.0)
+        lg.log(2, loss=0.25)
+        lg.close()
+        lines = [json.loads(l) for l in
+                 (tmp_path / "wandb_fallback.jsonl").read_text().splitlines()]
+        assert lines[0] == {"step": 1, "loss": 0.5, "acc": 10.0}
+        assert lines[1]["loss"] == 0.25
