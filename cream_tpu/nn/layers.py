@@ -67,15 +67,40 @@ class BNLinear(nn.Module):
 
 class MBConv(nn.Module):
     """Inverted-residual MBConv: 1x1 expand → 3x3 depthwise → 1x1 project, all
-    Conv+BN with GELU between, residual add then GELU."""
+    Conv+BN with GELU between, residual add then GELU.
+
+    A fused Pallas kernel exists (ops/pallas/mbconv.py) but is OFF by
+    default: measured on v5e at the TinyViT stage-0 shape (bs256, 56x56x96,
+    expand 4) the op is matmul + VPU-serialization bound, not HBM bound —
+    the kernel's floor is 3.57 ms/batch with a free activation and 4.85 ms
+    with the faithful fp32 tanh GELU vs 4.39 ms for this XLA path, because
+    the in-kernel MXU matmuls and VPU depthwise/GELU cannot overlap the way
+    XLA pipelines them across the batch. Kept for shapes where VMEM
+    residency wins (small batch / larger expand) and as the measured
+    record."""
     features: int
     expand_ratio: float = 4.0
     drop_path_rate: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         hidden = int(x.shape[-1] * self.expand_ratio)
+
+        if self.use_pallas and not train and not self.is_initializing():
+            from cream_tpu.nn.attention import _on_tpu
+            from cream_tpu.ops.pallas.mbconv import (fold_mbconv_variables,
+                                                     fused_mbconv,
+                                                     supports_shape)
+            _, H, W, C = x.shape
+            if (_on_tpu() and C == self.features
+                    and supports_shape(H, W, C, self.expand_ratio,
+                                       self.dtype)
+                    and "batch_stats" in self.variables):
+                ops = fold_mbconv_variables(self.variables, self.dtype)
+                return fused_mbconv(x, *ops)
+
         shortcut = x
         x = ConvBN(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
         x = gelu(x)

@@ -142,3 +142,55 @@ class TestWindowRelayout:
         want = window_reverse(o, ws, p, (H, W))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
+
+
+class TestFusedMBConv:
+    def _vars(self, m, x, rng):
+        import jax.tree_util as jtu
+
+        v = m.init(jax.random.key(0), x)
+
+        def riffle(path, a):
+            name = "/".join(str(p) for p in path)
+            if "kernel" in name:
+                return jnp.asarray(rng.standard_normal(a.shape) * 0.1,
+                                   jnp.float32)
+            if "scale" in name:
+                return jnp.asarray(rng.uniform(0.8, 1.2, a.shape), jnp.float32)
+            if "var" in name:
+                return jnp.asarray(rng.uniform(0.5, 1.5, a.shape), jnp.float32)
+            return jnp.asarray(rng.standard_normal(a.shape) * 0.1, jnp.float32)
+
+        return {"params": jtu.tree_map_with_path(riffle, v["params"]),
+                "batch_stats": jtu.tree_map_with_path(riffle,
+                                                      v["batch_stats"])}
+
+    def test_matches_module_fp32_and_bf16(self):
+        from cream_tpu.nn.layers import MBConv
+        from cream_tpu.ops.pallas.mbconv import (fold_mbconv_variables,
+                                                 fused_mbconv)
+        rng = np.random.default_rng(0)
+        H = W = 8
+        C = 32
+        m = MBConv(C, 4.0, use_pallas=False)
+        x = jnp.asarray(rng.standard_normal((2, H, W, C)), jnp.float32)
+        v = self._vars(m, x, rng)
+        ref = m.apply(v, x)
+        got = fused_mbconv(x, *fold_mbconv_variables(v, jnp.float32),
+                           interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+        mb = MBConv(C, 4.0, use_pallas=False, dtype=jnp.bfloat16)
+        xb = x.astype(jnp.bfloat16)
+        refb = np.asarray(mb.apply(v, xb).astype(jnp.float32))
+        gotb = np.asarray(fused_mbconv(
+            xb, *fold_mbconv_variables(v, jnp.bfloat16),
+            interpret=True).astype(jnp.float32))
+        np.testing.assert_allclose(gotb, refb, atol=0.05, rtol=0.05)
+
+    def test_supports_shape_gate(self):
+        from cream_tpu.ops.pallas.mbconv import supports_shape
+        assert supports_shape(56, 56, 96, 4.0, jnp.bfloat16)
+        assert not supports_shape(112, 112, 96, 4.0, jnp.float32)  # VMEM
+        assert not supports_shape(56, 56, 100, 4.0, jnp.bfloat16)  # lanes
