@@ -125,3 +125,93 @@ def roi_align(features: jnp.ndarray, rois: jnp.ndarray, out_size: tuple,
         return vals.mean(axis=(2, 3))
 
     return jax.vmap(one_roi)(batch_idx, grid_y, grid_x)
+
+
+def _bilinear_flat(img2d: jnp.ndarray, H: int, W: int, y: jnp.ndarray,
+                   x: jnp.ndarray) -> jnp.ndarray:
+    """img2d (H*W, C); y/x (...,) points; deformable_im2col_bilinear
+    semantics (zero outside (-1, H)x(-1, W), zero-padded corners)."""
+    inside = (y > -1.0) & (y < H) & (x > -1.0) & (x < W)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    ly, lx = y - y0, x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yy, xx, w):
+        ok = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+        idx = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
+        v = jnp.take(img2d, idx.reshape(-1), axis=0).reshape(*idx.shape, -1)
+        return v * (w * ok)[..., None]
+
+    val = (tap(y0i, x0i, (1 - ly) * (1 - lx))
+           + tap(y0i, x0i + 1, (1 - ly) * lx)
+           + tap(y0i + 1, x0i, ly * (1 - lx))
+           + tap(y0i + 1, x0i + 1, ly * lx))
+    return val * inside[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("stride", "padding", "dilation",
+                                             "deformable_groups"))
+def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, weight: jnp.ndarray,
+                  mask: jnp.ndarray | None = None, stride: int = 1,
+                  padding: int = 1, dilation: int = 1,
+                  deformable_groups: int = 1) -> jnp.ndarray:
+    """Deformable convolution (v1; pass `mask` for modulated v2), NHWC.
+
+    Exact port of the vendored mmdet deformable_im2col
+    (mmdet/ops/dcn/src/deform_conv_cuda_kernel.cu:189-243): sample position
+    (i, j) of tap (ky, kx) = (i*stride - pad + ky*dilation + dy,
+    ...x analog...), bilinear with zero outside (-1, H); the im2col matrix
+    then contracts with the weights on the MXU (one einsum replaces the
+    col2im GEMM), and AD provides both input and offset gradients in place
+    of the two handwritten backward kernels.
+
+    x (B, H, W, C); offset (B, Ho, Wo, dg*kh*kw*2) with the reference's
+    per-group (tap, (dy, dx)) channel order; weight HWIO (kh, kw, C, O);
+    mask (B, Ho, Wo, dg*kh*kw) multiplies sampled values (modulated DCN —
+    apply sigmoid before passing, as the reference module does).
+    """
+    B, H, W, C = x.shape
+    kh, kw, wc, O = weight.shape
+    assert wc == C, (wc, C)
+    dg = deformable_groups
+    K = kh * kw
+    Ho = (H + 2 * padding - (dilation * (kh - 1) + 1)) // stride + 1
+    Wo = (W + 2 * padding - (dilation * (kw - 1) + 1)) // stride + 1
+    off = offset.reshape(B, Ho, Wo, dg, K, 2)
+
+    base_y = (jnp.arange(Ho) * stride - padding)[:, None, None] \
+        + (jnp.arange(kh) * dilation)[None, None, :].repeat(kw, -1) \
+        .reshape(1, 1, K)                                   # (Ho, 1, K)
+    base_x = (jnp.arange(Wo) * stride - padding)[:, None] \
+        + jnp.tile(jnp.arange(kw) * dilation, kh)[None, :]  # (Wo, K)
+    # positions per (B, Ho, Wo, dg, K)
+    ys = base_y.reshape(1, Ho, 1, 1, K) + off[..., 0]
+    xs = base_x.reshape(1, 1, Wo, 1, K) + off[..., 1]
+
+    def per_image(img, ys_i, xs_i, mask_i):
+        img2d = img.reshape(H * W, C)
+        cols = _bilinear_flat(img2d, H, W, ys_i, xs_i)   # (Ho,Wo,dg,K,C)
+        if mask_i is not None:
+            cols = cols * mask_i[..., None]
+        if dg == 1:
+            cols = cols[:, :, 0]                          # (Ho, Wo, K, C)
+        else:
+            # group g's samples apply to its own channel slice
+            cpg = C // dg
+            cols = jnp.stack([
+                cols[:, :, g, :, g * cpg:(g + 1) * cpg]
+                for g in range(dg)], axis=-2)             # (Ho,Wo,K,dg,cpg)
+            cols = cols.reshape(Ho, Wo, K, C)
+        return cols
+
+    mask_r = mask.reshape(B, Ho, Wo, dg, K) if mask is not None else None
+    cols = jax.vmap(per_image)(
+        x, jnp.broadcast_to(ys, (B, Ho, Wo, dg, K)),
+        jnp.broadcast_to(xs, (B, Ho, Wo, dg, K)),
+        mask_r if mask_r is not None else jnp.ones((B, Ho, Wo, dg, K),
+                                                   x.dtype))
+    wmat = weight.reshape(K, C, O)
+    return jnp.einsum("bhwkc,kco->bhwo", cols, wmat,
+                      preferred_element_type=jnp.float32).astype(x.dtype)

@@ -165,3 +165,97 @@ class TestSigmoidFocalLoss:
         g = jax.grad(lambda l: sigmoid_focal_loss(l, jnp.asarray(t)).sum())(
             jnp.asarray(x))
         assert np.isfinite(np.asarray(g)).all()
+
+
+def np_deform_conv(x, offset, weight, mask, stride, pad, dil, dg):
+    """Straight-line port of deformable_im2col + GEMM (NHWC)."""
+    B, H, W, C = x.shape
+    kh, kw, _, O = weight.shape
+    K = kh * kw
+    Ho = (H + 2 * pad - (dil * (kh - 1) + 1)) // stride + 1
+    Wo = (W + 2 * pad - (dil * (kw - 1) + 1)) // stride + 1
+    off = offset.reshape(B, Ho, Wo, dg, K, 2)
+    msk = mask.reshape(B, Ho, Wo, dg, K) if mask is not None else None
+    cpg = C // dg
+    out = np.zeros((B, Ho, Wo, O), np.float32)
+
+    def bil(img, y, x_):
+        if y <= -1 or y >= H or x_ <= -1 or x_ >= W:
+            return np.zeros(img.shape[-1], np.float32)
+        y0, x0 = int(np.floor(y)), int(np.floor(x_))
+        ly, lx = y - y0, x_ - x0
+        v = np.zeros(img.shape[-1], np.float32)
+        for (yy, xx, w) in ((y0, x0, (1 - ly) * (1 - lx)),
+                            (y0, x0 + 1, (1 - ly) * lx),
+                            (y0 + 1, x0, ly * (1 - lx)),
+                            (y0 + 1, x0 + 1, ly * lx)):
+            if 0 <= yy < H and 0 <= xx < W:
+                v += w * img[yy, xx]
+        return v
+
+    for b in range(B):
+        for i in range(Ho):
+            for j in range(Wo):
+                acc = np.zeros(O, np.float32)
+                for ky in range(kh):
+                    for kx in range(kw):
+                        t = ky * kw + kx
+                        for g in range(dg):
+                            y = i * stride - pad + ky * dil + off[b, i, j, g, t, 0]
+                            xx = j * stride - pad + kx * dil + off[b, i, j, g, t, 1]
+                            s = bil(x[b, :, :, g * cpg:(g + 1) * cpg], y, xx)
+                            if msk is not None:
+                                s = s * msk[b, i, j, g, t]
+                            acc += s @ weight[ky, kx, g * cpg:(g + 1) * cpg]
+                out[b, i, j] = acc
+    return out
+
+
+class TestDeformConv:
+    @pytest.mark.parametrize("dg,stride,use_mask",
+                             [(1, 1, False), (1, 2, True), (2, 1, True)])
+    def test_matches_im2col_oracle(self, dg, stride, use_mask):
+        from cream_tpu.ops.detection import deform_conv2d
+        rng = np.random.default_rng(0)
+        B, H, W, C, O = 2, 9, 11, 8, 6
+        x = rng.standard_normal((B, H, W, C)).astype(np.float32)
+        w = rng.standard_normal((3, 3, C, O)).astype(np.float32) * 0.2
+        Ho = (H + 2 - 3) // stride + 1
+        Wo = (W + 2 - 3) // stride + 1
+        offset = (rng.standard_normal((B, Ho, Wo, dg * 9 * 2)) * 2.0
+                  ).astype(np.float32)
+        mask = rng.random((B, Ho, Wo, dg * 9)).astype(np.float32) \
+            if use_mask else None
+        ref = np_deform_conv(x, offset, w, mask, stride, 1, 1, dg)
+        got = deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                            jnp.asarray(w),
+                            jnp.asarray(mask) if use_mask else None,
+                            stride=stride, padding=1, dilation=1,
+                            deformable_groups=dg)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4,
+                                   rtol=1e-4)
+
+    def test_zero_offset_equals_conv(self):
+        """With zero offsets (and no mask) DCN is an ordinary conv."""
+        from cream_tpu.ops.detection import deform_conv2d
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+        w = rng.standard_normal((3, 3, 4, 5)).astype(np.float32)
+        offset = np.zeros((1, 8, 8, 18), np.float32)
+        got = deform_conv2d(jnp.asarray(x), jnp.asarray(offset),
+                            jnp.asarray(w))
+        ref = jax.lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_gradients_flow_to_offsets(self):
+        from cream_tpu.ops.detection import deform_conv2d
+        x = jnp.ones((1, 6, 6, 4))
+        w = jnp.ones((3, 3, 4, 2)) * 0.1
+        offset = jnp.full((1, 6, 6, 18), 0.3)
+
+        g = jax.grad(lambda o: deform_conv2d(x, o, w).sum())(offset)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
