@@ -250,6 +250,62 @@ def resnet18_backbone(dtype=jnp.float32) -> ResNetBackbone:
 from cream_tpu.models.registry import register_model  # noqa: E402
 
 
+class CLIPResNet(nn.Module):
+    """Two-tower CLIP with a ModifiedResNet image encoder — the RN50/RN101
+    model family (TinyCLIP/src/open_clip/model.py builds ModifiedResNet when
+    vision_layers is a list; OpenAI RN checkpoints use QuickGELU text
+    towers). Param tree: visual/* (ModifiedResNet), text/* (TextTower),
+    logit_scale — importer: zoo/import_torch.py:convert_clip_rn."""
+    layers: Sequence[int] = (3, 4, 6, 3)
+    embed_dim: int = 1024
+    heads: int = 32
+    image_size: int = 224
+    width: int = 64
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    context_length: int = 77
+    vocab_size: int = 49408
+    quick_gelu: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        from cream_tpu.models.clip import TextTower
+        self.visual = ModifiedResNet(
+            layers=self.layers, output_dim=self.embed_dim, heads=self.heads,
+            image_size=self.image_size, width=self.width, dtype=self.dtype)
+        self.text = TextTower(
+            context_length=self.context_length, vocab_size=self.vocab_size,
+            width=self.text_width, layers=self.text_layers,
+            heads=[self.text_heads] * self.text_layers,
+            output_dim=self.embed_dim,
+            act="quick_gelu" if self.quick_gelu else "gelu",
+            dtype=self.dtype)
+        self.logit_scale = self.param(
+            "logit_scale", lambda k: jnp.asarray(jnp.log(1 / 0.07),
+                                                 jnp.float32))
+
+    def encode_image(self, image, normalized: bool = True):
+        return self.visual(image, normalized=normalized)
+
+    def encode_text(self, text, normalized: bool = True):
+        return self.text(text, normalized=normalized)
+
+    def __call__(self, image, text):
+        return (self.encode_image(image), self.encode_text(text),
+                jnp.exp(self.logit_scale))
+
+
+@register_model(name="clip_resnet50")
+def clip_resnet50(**kw):
+    return CLIPResNet(layers=(3, 4, 6, 3), embed_dim=1024, heads=32, **kw)
+
+
+@register_model(name="clip_resnet101")
+def clip_resnet101(**kw):
+    return CLIPResNet(layers=(3, 4, 23, 3), embed_dim=512, heads=32, **kw)
+
+
 @register_model(name="clip_resnet50_tower")
 def clip_resnet50_tower(**kw):
     """OpenAI RN50 CLIP image tower (open_clip RN50 config)."""

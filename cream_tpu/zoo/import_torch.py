@@ -490,3 +490,32 @@ def convert_clip_resnet_tower(sd: Mapping[str, np.ndarray],
     for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
         b.dense(sd, f"attnpool.{p}", f"attnpool/{p}")
     return b.variables()
+
+
+def convert_clip_rn(sd: Mapping[str, np.ndarray], layers=(3, 4, 6, 3),
+                    text_layers: int = 12) -> dict:
+    """Full RN-family CLIP state_dict (OpenAI RN50/RN101 layout) -> flax
+    variables for models/resnet.py:CLIPResNet: ModifiedResNet visual tower +
+    the standard text transformer."""
+    tower = convert_clip_resnet_tower(sd, layers)
+    b = _TreeBuilder()
+    b.params["visual"] = tower["params"]
+    b.batch_stats["visual"] = tower["batch_stats"]
+
+    def block(tp, fp):
+        b.ln(sd, f"{tp}.ln_1", f"{fp}/ln_1")
+        b.dense_from(sd[f"{tp}.attn.in_proj_weight"],
+                     sd.get(f"{tp}.attn.in_proj_bias"), f"{fp}/attn/in_proj")
+        b.dense(sd, f"{tp}.attn.out_proj", f"{fp}/attn/out_proj")
+        b.ln(sd, f"{tp}.ln_2", f"{fp}/ln_2")
+        b.dense(sd, f"{tp}.mlp.c_fc", f"{fp}/c_fc")
+        b.dense(sd, f"{tp}.mlp.c_proj", f"{fp}/c_proj")
+
+    b.raw(sd["token_embedding.weight"], "text/token_embedding/embedding")
+    b.raw(sd["positional_embedding"], "text/positional_embedding")
+    for i in range(text_layers):
+        block(f"transformer.resblocks.{i}", f"text/transformer/resblocks_{i}")
+    b.ln(sd, "ln_final", "text/ln_final")
+    b.raw(sd["text_projection"], "text/text_projection")
+    b.raw(sd["logit_scale"].reshape(()), "logit_scale")
+    return b.variables()
