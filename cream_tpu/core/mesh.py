@@ -62,3 +62,40 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
 @functools.cache
 def default_mesh() -> Mesh:
     return create_mesh()
+
+
+def partition_by_rules(params, rules, mesh: Mesh | None = None):
+    """Map a params pytree to PartitionSpecs by regex path rules (first
+    match wins; default = replicated). With `mesh`, returns NamedShardings
+    ready for jax.jit in_shardings — the 'annotate shardings, let XLA
+    insert collectives' recipe."""
+    import re
+
+    compiled = [(re.compile(pat), spec) for pat, spec in rules]
+
+    def spec_for(path) -> P:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        for pat, spec in compiled:
+            if pat.fullmatch(name):
+                return spec
+        return P()
+
+    def leaf(path, x):
+        spec = spec_for(path)
+        return NamedSharding(mesh, spec) if mesh is not None else spec
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+# Megatron-style tensor parallelism for the CLIP/DETR transformer towers
+# (models/clip.py naming): qkv and MLP-in column-sharded, out-proj and
+# MLP-out row-sharded. XLA's SPMD partitioner derives the activation
+# shardings and inserts the row-parallel all-reduces.
+CLIP_TP_RULES = (
+    (r".*/attn/in_proj/kernel", P(None, "model")),
+    (r".*/attn/in_proj/bias", P("model")),
+    (r".*/attn/out_proj/kernel", P("model", None)),
+    (r".*/c_fc/kernel", P(None, "model")),
+    (r".*/c_fc/bias", P("model")),
+    (r".*/c_proj/kernel", P("model", None)),
+)
