@@ -139,6 +139,46 @@ def bench_clip_pair(batch: int = 256) -> dict:
             "mfu": round(mfu, 4) if mfu else None}
 
 
+def bench_train_step(name: str = "tiny_vit_21m_224", batch: int = 128
+                     ) -> dict:
+    """Full AdamW training step (fwd+bwd+update, bf16 compute / fp32 params)
+    — the reference's headline training costs (EfficientViT README: M5 300ep
+    ~30h on 8xV100) make train throughput a first-class metric."""
+    import optax
+
+    from cream_tpu.models import create_model
+    from cream_tpu.train import TrainState, make_train_step
+
+    model = create_model(name, num_classes=1000, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3),
+                          jnp.bfloat16)
+    labels = jax.random.randint(jax.random.key(2), (batch,), 0, 1000)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    state = TrainState.create(params=variables["params"],
+                              tx=optax.adamw(1e-3, weight_decay=0.05),
+                              batch_stats=variables.get("batch_stats"))
+    train_step = make_train_step(model, donate=False)
+    batch_d = {"image": x, "label": labels}
+    rng = jax.random.key(3)
+
+    def run(state, n):
+        def body(s, _):
+            s, m = train_step(s, batch_d, rng)
+            return s, m["loss"]
+        return jax.lax.scan(body, state, None, length=n)
+
+    n_iters = 10
+    g = jax.jit(lambda s: run(s, n_iters)[1].sum())
+    jax.device_get(g(state))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(g(state))
+        best = min(best, time.perf_counter() - t0)
+    return {"items_per_s": round(batch * n_iters / best, 1),
+            "unit": "img/s (train)", "batch": batch}
+
+
 def main():
     models = {}
     specs = [
@@ -162,6 +202,10 @@ def main():
     except Exception as e:
         r = {"error": f"{type(e).__name__}: {e}"}
     models["tinyclip_39m_pairs"] = r
+    try:
+        models["tinyvit_21m_train"] = bench_train_step()
+    except Exception as e:
+        models["tinyvit_21m_train"] = {"error": f"{type(e).__name__}: {e}"}
 
     head = models["tinyvit_21m"]
     print(json.dumps({
