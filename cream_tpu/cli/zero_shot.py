@@ -43,8 +43,14 @@ def main(argv=None):
         variables = jax.jit(model.init)(jax.random.key(0), img0, txt0)
 
     ds = build_dataset(cfg, train=False)
+    templates = None
     if args.classnames:
         classnames = [l.strip() for l in open(args.classnames) if l.strip()]
+    elif (getattr(ds, "num_classes", 1000) or 1000) == 1000:
+        # full OpenAI ImageNet set (80 templates x 1000 names) — the
+        # reference's published zero-shot numbers use exactly these
+        from cream_tpu.train.zero_shot import openai_imagenet_constants
+        classnames, templates = openai_imagenet_constants()
     else:
         classnames = [f"class {i}" for i in
                       range(getattr(ds, "num_classes", 1000) or 1000)]
@@ -55,7 +61,9 @@ def main(argv=None):
     encode_image = jax.jit(lambda x: model.apply(
         variables, x, method="encode_image"))
 
-    classifier = build_zero_shot_classifier(encode_text, tokenizer, classnames)
+    kw = {"templates": templates} if templates else {}
+    classifier = build_zero_shot_classifier(encode_text, tokenizer,
+                                            classnames, **kw)
     batches = (
         {"image": jnp.asarray(b["image"], dtype), "label": b["label"]}
         for b in eval_loader(ds, cfg.data.batch_size, model.cfg.image_size,

@@ -14,7 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 
 # the 80 OpenAI prompt templates are public constants; a minimal high-signal
-# subset is bundled, callers can pass the full list
+# subset is bundled inline, and the FULL 80-template + 1000-classname set
+# (which the reference accuracies depend on) ships as a data file —
+# data/zero_shot_constants.json, use openai_imagenet_constants().
 DEFAULT_TEMPLATES = (
     "a photo of a {}.",
     "a photo of the {}.",
@@ -25,6 +27,20 @@ DEFAULT_TEMPLATES = (
     "itap of a {}.",
     "a low resolution photo of a {}.",
 )
+
+
+def openai_imagenet_constants() -> tuple[list, list]:
+    """(classnames, templates): the full public OpenAI CLIP ImageNet
+    zero-shot set (1000 names, 80 prompt templates) — exact reference parity
+    for the published zero-shot numbers."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "zero_shot_constants.json")
+    with open(path) as fh:
+        d = json.load(fh)
+    return d["classnames"], d["templates"]
 
 
 def build_zero_shot_classifier(encode_text_fn, tokenizer, classnames,

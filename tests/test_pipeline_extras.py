@@ -159,3 +159,13 @@ class TestScalarLogger:
                  (tmp_path / "wandb_fallback.jsonl").read_text().splitlines()]
         assert lines[0] == {"step": 1, "loss": 0.5, "acc": 10.0}
         assert lines[1]["loss"] == 0.25
+
+
+class TestZeroShotConstants:
+    def test_full_openai_set(self):
+        from cream_tpu.train.zero_shot import openai_imagenet_constants
+        names, templates = openai_imagenet_constants()
+        assert len(names) == 1000 and len(templates) == 80
+        assert names[0] == "tench" and names[-1] == "toilet paper"
+        assert "a photo of a {}." in templates
+        assert all("{}" in t for t in templates)
