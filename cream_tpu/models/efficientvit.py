@@ -92,6 +92,14 @@ class CascadedGroupAttention(nn.Module):
     kernels: Sequence[int]
     dtype: Dtype = jnp.float32
 
+    # Fused kernel exists (ops/pallas/cga.py, bit-exact) but is OFF: at the
+    # M0 stage-0 shape (4096 windows of 7x7) it measures 5.76 ms vs 3.46 ms
+    # for this XLA path — the per-window (64, 16) attention dots become 32k
+    # sequential tiny MXU ops inside one kernel, while XLA at least overlaps
+    # them with HBM traffic. See ops/pallas/cga.py docstring for the full
+    # apportionment.
+    use_pallas: bool = False
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, H, W, C = x.shape
@@ -104,6 +112,22 @@ class CascadedGroupAttention(nn.Module):
         biases = self.param("attention_biases", nn.initializers.zeros,
                             (h, n_off), jnp.float32)
         bias_tab = biases[:, idxs]                     # (h, N, N)
+
+        if self.use_pallas and not train and not self.is_initializing():
+            from cream_tpu.nn.attention import _on_tpu
+            from cream_tpu.ops.pallas.cga import (fold_cga_variables,
+                                                  fused_cga, supports_shape)
+            c_in = C // h
+            ks_max = max(self.kernels[:h])
+            if (_on_tpu() and H == W and H == self.resolution
+                    and supports_shape(B, H)
+                    and "batch_stats" in self.variables):
+                ops = fold_cga_variables(self.variables, h, kd, d, ks_max,
+                                         self.dtype)
+                wqkv, bqkv, dwk, dwb, wproj, bproj = ops
+                return fused_cga(x, biases, idxs, wqkv, bqkv, dwk, dwb,
+                                 wproj, bproj, ws=H, heads=h, c_in=c_in,
+                                 kd=kd, d=d, ks_max=ks_max)
 
         chunks = jnp.split(x, h, axis=-1)
         feat = chunks[0]

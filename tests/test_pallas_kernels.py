@@ -194,3 +194,49 @@ class TestFusedMBConv:
         assert supports_shape(56, 56, 96, 4.0, jnp.bfloat16)
         assert not supports_shape(112, 112, 96, 4.0, jnp.float32)  # VMEM
         assert not supports_shape(56, 56, 100, 4.0, jnp.bfloat16)  # lanes
+
+
+class TestFusedCGA:
+    def test_matches_module(self):
+        """Fused CGA (interpret) vs the module, incl. mixed per-head dw
+        kernel sizes and the non-square-padding ws=4 stage-2 shape."""
+        import jax.tree_util as jtu
+        from cream_tpu.models.efficientvit import (CascadedGroupAttention,
+                                                   attention_bias_indices)
+        from cream_tpu.ops.pallas.cga import fold_cga_variables, fused_cga
+
+        rng = np.random.default_rng(0)
+        for ws, C, h, kd, ar, kernels in ((7, 64, 4, 16, 1.0, (5, 3, 5, 3)),
+                                          (4, 192, 4, 16, 3.0, (5, 5, 5, 5))):
+            d = int(ar * kd)
+            m = CascadedGroupAttention(C, kd, h, ar, ws, kernels,
+                                       use_pallas=False)
+            x = jnp.asarray(rng.standard_normal((6, ws, ws, C)), jnp.float32)
+            v = m.init(jax.random.key(0), x)
+
+            def riffle(path, a):
+                name = "/".join(str(p) for p in path)
+                if "kernel" in name:
+                    return jnp.asarray(rng.standard_normal(a.shape) * 0.1,
+                                       jnp.float32)
+                if "scale" in name:
+                    return jnp.asarray(rng.uniform(0.8, 1.2, a.shape),
+                                       jnp.float32)
+                if "var" in name:
+                    return jnp.asarray(rng.uniform(0.5, 1.5, a.shape),
+                                       jnp.float32)
+                return jnp.asarray(rng.standard_normal(a.shape) * 0.1,
+                                   jnp.float32)
+
+            v = {"params": jtu.tree_map_with_path(riffle, v["params"]),
+                 "batch_stats": jtu.tree_map_with_path(riffle,
+                                                       v["batch_stats"])}
+            ref = m.apply(v, x)
+            idxs, _ = attention_bias_indices((ws, ws))
+            ks_max = max(kernels[:h])
+            ops = fold_cga_variables(v, h, kd, d, ks_max, jnp.float32)
+            got = fused_cga(x, v["params"]["attention_biases"], idxs, *ops,
+                            ws=ws, heads=h, c_in=C // h, kd=kd, d=d,
+                            ks_max=ks_max, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4, rtol=1e-4)
