@@ -113,8 +113,12 @@ class WindowBiasAttention(nn.Module):
                             (h, num_offsets), jnp.float32)
         bias_tab = biases[:, idxs]                        # (h, N, N)
 
-        # kernel path: divisible windows, inference, on TPU, VMEM-sized bias
-        kernel_ok = (self.use_pallas and not train and _on_tpu()
+        # kernel path: divisible windows, on TPU, VMEM-sized bias. Training
+        # uses it too — the custom_vjp bwd kernel keeps the no-transpose
+        # layout through the whole train graph (round-2 measurement: the
+        # einsum fallback's window_partition poisons XLA layout assignment,
+        # 11-13 ms/block vs ~2 intrinsic).
+        kernel_ok = (self.use_pallas and _on_tpu()
                      and H % ws == 0 and W % ws == 0 and N <= 256
                      and h * N * N * 4 < 6 * 2 ** 20)
         if kernel_ok:

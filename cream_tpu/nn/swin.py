@@ -85,7 +85,8 @@ class SwinWindowAttention(nn.Module):
             # spatial (B, Hp, Wp, C) input: fused no-transpose kernel when
             # eligible, else partition internally and fall through.
             B, Hp, Wp, C = x.shape
-            kernel_ok = (not train and proj_l is None and proj_w is None
+            # train included: fused_window_attention carries a custom_vjp
+            kernel_ok = (proj_l is None and proj_w is None
                          and not self.sow_qkv and _on_tpu()
                          and Hp % self.window == 0 and Wp % self.window == 0
                          and N <= 256 and h * N * N * 4 < 6 * 2 ** 20)

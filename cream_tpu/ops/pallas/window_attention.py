@@ -104,6 +104,208 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             out_ref[0, r, j * ws:(j + 1) * ws, :] = o[r * ws:(r + 1) * ws, :]
 
 
+def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
+                kd: int, dv: int, scale: float, has_mask: bool, offs,
+                N: int, NP: int, KP: int, layout: str, hc: int,
+                stacked: bool):
+    """Backward of `_kernel`: recompute-P flash-style (windows are tiny, so
+    a full recompute is one extra (N, KP) matmul per head), then the standard
+    softmax-attention vjp. All heads' P tiles live stacked in a fp32 VMEM
+    scratch so the softmax recompute (the VPU-dispatch-bound part, same
+    economics as the fwd's stacked softmax) runs in a few wide passes.
+    dbias is accumulated across the whole sequential grid into a single
+    revisited (heads*NP, KP) output block.
+
+    Two shapes of the softmax-bwd elementwise, both measured on v5e:
+      - stacked=True: dP tiles stack in a second scratch and
+        dS = P*(dP - rowsum(dP*P)) runs as one wide pass. This is the fast
+        form at small-window shapes — per-head chains at TinyViT stage 1
+        (24 head-windows of (56,128) per program) are VPU-dispatch-bound and
+        cost 9.5 ms/block vs 2.2 for the fwd.
+      - stacked=False: dS per head with an immediate (N,1) rowsum. Used when
+        (heads*NP, KP) fp32 is too big for a second scratch: at stage-2
+        shapes (12 heads, N=196) the extra 2.4 MB scratch plus Mosaic stack
+        temporaries blow the 16 MB scoped-vmem limit; the per-head ops there
+        are (200,256)-sized, so dispatch overhead is amortized anyway.
+    The stacked passes run in `hc`-head chunks to bound stack temporaries."""
+    if has_mask:
+        mask_ref, dout_ref, dqkv_ref, dbias_ref, p_sc, d_sc = rest
+    else:
+        dout_ref, dqkv_ref, dbias_ref, p_sc, d_sc = rest
+    L = qkv_ref.shape[-1]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for j in range(n_win):
+        rows = [qkv_ref[0, r, j * ws:(j + 1) * ws, :] for r in range(ws)]
+        if KP > N:
+            rows.append(jnp.zeros((KP - N, L), qkv_ref.dtype))
+        xp = jnp.concatenate(rows, axis=0)                 # (KP, L)
+        do = jnp.concatenate([dout_ref[0, r, j * ws:(j + 1) * ws, :]
+                              for r in range(ws)], axis=0)  # (N, heads*dv)
+        # recompute scores, stacked softmax (same trick as fwd)
+        for h in range(heads):
+            qo, ko, _ = offs[h]
+            q = xp[:N, qo:qo + kd]
+            k = xp[:, ko:ko + kd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h]
+            if has_mask:
+                s = s + mask_ref[j]
+            p_sc[h * NP:h * NP + N, :] = s
+        for c in range(0, heads, hc):
+            r0, r1 = c * NP, min(c + hc, heads) * NP
+            s = p_sc[r0:r1, :]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p_sc[r0:r1, :] = e / jnp.sum(e, axis=-1, keepdims=True)
+        # vjp: dP = dO V^T; dS = P*(dP - rowsum(dP*P)); dQ = dS K;
+        # dK = dS^T Q; dV = P^T dO.
+        if stacked:
+            for h in range(heads):
+                vo = offs[h][2]
+                v = xp[:, vo:vo + dv]                      # (KP, dv)
+                do_h = do[:, h * dv:(h + 1) * dv]          # (N, dv)
+                dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                d_sc[h * NP:h * NP + N, :] = dp
+            for c in range(0, heads, hc):
+                r0, r1 = c * NP, min(c + hc, heads) * NP
+                p = p_sc[r0:r1, :]
+                dp = d_sc[r0:r1, :]
+                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                d_sc[r0:r1, :] = ds
+                dbias_ref[r0:r1, :] += ds
+        dqs, dks, dvs = [], [], []
+        for h in range(heads):
+            qo, ko, vo = offs[h]
+            q = xp[:N, qo:qo + kd]
+            k = xp[:, ko:ko + kd]
+            v = xp[:, vo:vo + dv]                          # (KP, dv)
+            do_h = do[:, h * dv:(h + 1) * dv]              # (N, dv)
+            p_h = p_sc[h * NP:h * NP + N, :]               # (N, KP)
+            if stacked:
+                ds = d_sc[h * NP:h * NP + N, :]
+            else:
+                dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                ds = p_h * (dp - jnp.sum(dp * p_h, axis=-1, keepdims=True))
+                dbias_ref[h * NP:h * NP + N, :] += ds
+            dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dvh = jax.lax.dot_general(p_h, do_h, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dqs.append(dq * scale)                         # (N, kd)
+            dks.append(dk[:N] * scale)                     # (N, kd)
+            dvs.append(dvh[:N])                            # (N, dv)
+        if layout == "head_major":
+            cols = []
+            for h in range(heads):
+                cols += [dqs[h], dks[h], dvs[h]]
+        else:
+            cols = dqs + dks + dvs
+        dxp = jnp.concatenate(cols, axis=-1).astype(dqkv_ref.dtype)  # (N, L)
+        for r in range(ws):
+            dqkv_ref[0, r, j * ws:(j + 1) * ws, :] = \
+                dxp[r * ws:(r + 1) * ws, :]
+
+
+def _specs(B, H, W, L, window, heads, N, KP, nW, has_mask):
+    in_specs = [
+        pl.BlockSpec((1, window, W, L), lambda b, i: (b, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, N, KP), lambda b, i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((nW, N, KP), lambda b, i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    return in_specs
+
+
+def _pallas_fwd(statics, qkv, bias_p, mask_p):
+    window, heads, kd, dv, layout, interpret = statics
+    B, H, W, L = qkv.shape
+    N = window * window
+    nH, nW = H // window, W // window
+    NP, KP = _round_up(N, 8), _round_up(N, 128)
+    args = [qkv, bias_p] + ([] if mask_p is None else [mask_p])
+    return pl.pallas_call(
+        functools.partial(_kernel, ws=window, n_win=nW, heads=heads, kd=kd,
+                          dv=dv, scale=kd ** -0.5, has_mask=mask_p is not None,
+                          offs=tuple(_offsets(layout, heads, kd, dv)),
+                          N=N, NP=NP, KP=KP),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, heads * dv), qkv.dtype),
+        grid=(B, nH),
+        in_specs=_specs(B, H, W, L, window, heads, N, KP, nW, mask_p is not None),
+        out_specs=pl.BlockSpec((1, window, W, heads * dv),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((heads * NP, KP), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fwa(statics, qkv, bias_p, mask_p):
+    return _pallas_fwd(statics, qkv, bias_p, mask_p)
+
+
+def _fwa_fwd(statics, qkv, bias_p, mask_p):
+    return _pallas_fwd(statics, qkv, bias_p, mask_p), (qkv, bias_p, mask_p)
+
+
+def _fwa_bwd(statics, res, dout):
+    qkv, bias_p, mask_p = res
+    window, heads, kd, dv, layout, interpret = statics
+    B, H, W, L = qkv.shape
+    N = window * window
+    nH, nW = H // window, W // window
+    NP, KP = _round_up(N, 8), _round_up(N, 128)
+    has_mask = mask_p is not None
+    in_specs = _specs(B, H, W, L, window, heads, N, KP, nW, has_mask)
+    in_specs.append(pl.BlockSpec((1, window, W, heads * dv),
+                                 lambda b, i: (b, i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    args = [qkv, bias_p] + ([mask_p] if has_mask else []) + [dout]
+    # head-chunk the stacked softmax recompute so each pass's fp32 stack
+    # temporaries (~3 live at once) stay under ~2 MB (see _bwd_kernel)
+    hc = max(1, int(6e5) // (NP * KP * 4))
+    # stacked-dP form only where the extra scratch fits the scoped-vmem
+    # budget (see _bwd_kernel docstring for the measured tradeoff)
+    stacked = heads * NP * KP * 4 <= 2_500_000
+    dqkv, dbias_st = pl.pallas_call(
+        functools.partial(_bwd_kernel, ws=window, n_win=nW, heads=heads,
+                          kd=kd, dv=dv, scale=kd ** -0.5, has_mask=has_mask,
+                          offs=tuple(_offsets(layout, heads, kd, dv)),
+                          N=N, NP=NP, KP=KP, layout=layout, hc=hc,
+                          stacked=stacked),
+        out_shape=[jax.ShapeDtypeStruct((B, H, W, L), qkv.dtype),
+                   jax.ShapeDtypeStruct((heads * NP, KP), jnp.float32)],
+        grid=(B, nH),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, window, W, L), lambda b, i: (b, i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((heads * NP, KP), lambda b, i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        scratch_shapes=[pltpu.VMEM((heads * NP, KP), jnp.float32),
+                        pltpu.VMEM((heads * NP, KP) if stacked else (8, 128),
+                                   jnp.float32)],
+        interpret=interpret,
+    )(*args)
+    dbias_p = dbias_st.reshape(heads, NP, KP)[:, :N, :]
+    dmask = None if mask_p is None else jnp.zeros_like(mask_p)
+    return dqkv, dbias_p, dmask
+
+
+_fwa.defvjp(_fwa_fwd, _fwa_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("window", "heads", "kd", "dv",
                                              "layout", "interpret"))
 def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
@@ -121,6 +323,12 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
     mask: optional (nH*nW, N, N) fp32 additive mask per window position
           (Swin shifted windows).
     Returns (B, H, W, heads*dv).
+
+    Differentiable: a custom_vjp routes the backward through a recompute-P
+    Pallas kernel (same BlockSpec windowing, no HBM transposes), so the
+    training graph keeps the fused path instead of falling back to the
+    layout-poisoned einsum form. d(bias) is accumulated in-kernel across the
+    sequential grid; the shift mask is a host constant and gets zero grad.
     """
     B, H, W, L = qkv.shape
     assert H % window == 0 and W % window == 0, (H, W, window)
@@ -128,41 +336,15 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
     N = window * window
     assert bias.shape == (heads, N, N), (bias.shape, heads, N)
     nH, nW = H // window, W // window
-    scale = kd ** -0.5
-    NP = _round_up(N, 8)        # sublane-aligned per-head scratch offset
     KP = _round_up(N, 128)      # key rows padded to a lane multiple
 
     # padded keys get -1e9 bias so their softmax weight is exactly 0
     bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, 0), (0, KP - N)),
                      constant_values=-1e9)
-
-    grid = (B, nH)
-    in_specs = [
-        pl.BlockSpec((1, window, W, L), lambda b, i: (b, i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((heads, N, KP), lambda b, i: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [qkv, bias_p]
+    mask_p = None
     if mask is not None:
         assert mask.shape == (nH * nW, N, N), (mask.shape, nH, nW, N)
         mask_p = jnp.pad(mask.astype(jnp.float32),
                          ((0, 0), (0, 0), (0, KP - N)))
-        in_specs.append(pl.BlockSpec((nW, N, KP), lambda b, i: (i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(mask_p)
-
-    return pl.pallas_call(
-        functools.partial(_kernel, ws=window, n_win=nW, heads=heads, kd=kd,
-                          dv=dv, scale=scale, has_mask=mask is not None,
-                          offs=tuple(_offsets(layout, heads, kd, dv)),
-                          N=N, NP=NP, KP=KP),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, heads * dv), qkv.dtype),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, window, W, heads * dv),
-                               lambda b, i: (b, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((heads * NP, KP), jnp.float32)],
-        interpret=interpret,
-    )(*args)
+    statics = (window, heads, kd, dv, layout, interpret)
+    return _fwa(statics, qkv, bias_p, mask_p)

@@ -144,6 +144,76 @@ class TestWindowRelayout:
                                    atol=2e-5, rtol=1e-4)
 
 
+class TestFusedWindowAttentionBackward:
+    """custom_vjp bwd kernel vs jax.grad of the einsum oracle."""
+
+    @pytest.mark.parametrize("B,H,W,ws,heads,kd,dv", [
+        (2, 14, 14, 7, 3, 16, 32),     # small, kd != dv, 4 windows
+        (1, 14, 14, 14, 4, 32, 32),    # single global window, KP>N path
+    ])
+    def test_grads_match_reference(self, B, H, W, ws, heads, kd, dv):
+        rng = np.random.default_rng(7)
+        L = heads * (2 * kd + dv)
+        qkv = jnp.asarray(rng.standard_normal((B, H, W, L)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws)) * .5,
+                           jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((B, H, W, heads * dv)),
+                          jnp.float32)
+
+        def loss_fused(qkv, bias):
+            o = fused_window_attention(qkv, bias, window=ws, heads=heads,
+                                       kd=kd, dv=dv, interpret=True)
+            return jnp.sum(o * wgt)
+
+        def loss_ref(qkv, bias):
+            o = ref_window_attention(qkv, bias, ws, heads, kd, dv)
+            return jnp.sum(o * wgt)
+
+        gq, gb = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+        rq, rb = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                                   atol=2e-4, rtol=1e-3)
+
+    def test_grads_qkv_major_with_mask(self):
+        rng = np.random.default_rng(8)
+        B, H, W, ws, heads, d = 2, 14, 14, 7, 4, 16
+        L = heads * 3 * d
+        N = ws * ws
+        qkv = jnp.asarray(rng.standard_normal((B, H, W, L)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((heads, N, N)) * .5, jnp.float32)
+        mask = jnp.asarray(
+            np.where(rng.random((4, N, N)) > .7, -100.0, 0.0), jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((B, H, W, heads * d)),
+                          jnp.float32)
+
+        def loss_fused(qkv, bias):
+            o = fused_window_attention(qkv, bias, mask, window=ws, heads=heads,
+                                       kd=d, dv=d, layout="qkv_major",
+                                       interpret=True)
+            return jnp.sum(o * wgt)
+
+        def loss_ref(qkv, bias):
+            w, p = window_partition(qkv, ws)
+            Wn = w.shape[0]
+            w = w.reshape(Wn, N, 3, heads, d)
+            q, k, v = w[:, :, 0], w[:, :, 1], w[:, :, 2]
+            a = jnp.einsum("bnhk,bmhk->bhnm", q, k) * (d ** -0.5)
+            a = a + bias[None]
+            a = a.reshape(B, 4, heads, N, N) + mask[None, :, None]
+            a = jax.nn.softmax(a.reshape(Wn, heads, N, N), axis=-1)
+            o = jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(Wn, N, heads * d)
+            return jnp.sum(window_reverse(o, ws, p, (H, W)) * wgt)
+
+        gq, gb = jax.grad(loss_fused, argnums=(0, 1))(qkv, bias)
+        rq, rb = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                                   atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                                   atol=2e-4, rtol=1e-3)
+
+
 class TestFusedMBConv:
     def _vars(self, m, x, rng):
         import jax.tree_util as jtu
