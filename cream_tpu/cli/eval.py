@@ -24,8 +24,15 @@ import optax
 
 def load_variables(cfg: Config, model, torch_ckpt: str | None):
     if torch_ckpt:
-        from cream_tpu.zoo import load_model_variables
-        return load_model_variables(cfg.model.name, torch_ckpt)
+        from cream_tpu.zoo import load_model_variables, shape_template
+        # shape template enables progressive-resolution inheritance: a
+        # 224-shaped checkpoint loads into the 384/512 models with the
+        # position tables bicubic-remapped (TinyViT/utils.py:142-190)
+        try:
+            tmpl = shape_template(model, cfg.data.img_size)
+        except TypeError:   # two-tower models init with (image, text)
+            tmpl = None
+        return load_model_variables(cfg.model.name, torch_ckpt, template=tmpl)
     x0 = jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3))
     return jax.jit(model.init)(jax.random.key(0), x0)
 

@@ -3,4 +3,7 @@ from cream_tpu.zoo.import_torch import (
     convert_mini_swin, convert_mini_deit, convert_clip,
     convert_clip_classifier, convert_autoformer_supernet,
     normalize_clip_layout, load_torch_state_dict)
-from cream_tpu.zoo.load import convert_for_model, load_model_variables
+from cream_tpu.zoo.load import (convert_for_model, load_model_variables,
+                                shape_template)
+from cream_tpu.zoo.interpolate import (bicubic_resize_2d, remap_resolution,
+                                       remap_leaf)

@@ -59,7 +59,31 @@ def convert_for_model(name: str, sd: Mapping[str, np.ndarray],
 
 
 def load_model_variables(name: str, ckpt_path: str,
-                         with_head: bool = True) -> dict:
-    """Load a torch .pth and convert it for model `name`."""
+                         with_head: bool = True,
+                         template: dict | None = None) -> dict:
+    """Load a torch .pth and convert it for model `name`.
+
+    `template`: optional shape tree (e.g. ``jax.eval_shape`` of the target
+    model's init). When given, position tables whose shapes mismatch are
+    bicubic-interpolated exactly like the reference's ``load_pretrained``
+    (TinyViT/utils.py:142-190) — the progressive-resolution finetune path
+    (224 -> 384 -> 512 checkpoint inheritance).
+    """
     sd = it.load_torch_state_dict(ckpt_path)
-    return convert_for_model(name, sd, with_head=with_head)
+    variables = convert_for_model(name, sd, with_head=with_head)
+    if template is not None:
+        from cream_tpu.zoo.interpolate import remap_resolution
+        variables = remap_resolution(variables, template)
+    return variables
+
+
+def shape_template(model, img_size: int, in_chans: int = 3) -> dict:
+    """jax.eval_shape of model.init at `img_size` — the remap target."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.zeros((1, img_size, img_size, in_chans), jnp.float32)
+    try:
+        return jax.eval_shape(
+            lambda k: model.init(k, x, train=False), jax.random.key(0))
+    except TypeError:
+        return jax.eval_shape(lambda k: model.init(k, x), jax.random.key(0))
