@@ -31,14 +31,36 @@ Dtype = Any
 # search_structure_supernet.py:6-44 with the 600M default window)
 SEARCH_STAGES = ((24, 4, 2), (40, 4, 2), (80, 4, 2), (96, 4, 1), (192, 4, 2))
 CHOICES = tuple((k, e) for k in (3, 5, 7) for e in (4, 6))  # 6 per layer
+# per-stage default (kernel, expand) from the choice_block_pool strings
+# (Cream/tools/test.py:81-86): ir_r1_k3_s2_e4_c24, k5_e4_c40, k3_e6_c80,
+# k3_e6_c96, k5_e6_c192
+STAGE_DEFAULTS = ((3, 4), (5, 4), (3, 6), (3, 6), (5, 6))
 
 
 def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
-class SqueezeExciteSwish(nn.Module):
-    """EfficientNet SE: reduce ratio 0.25 of the block INPUT channels."""
+def hard_sigmoid(x):
+    """timm hard_sigmoid: relu6(x + 3) / 6 — the SE gate the reference
+    builds with se_kwargs(gate_fn=hard_sigmoid) (supernet.py:176-180)."""
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def make_divisible(v: float, divisor: int = 8, min_value: int | None = None
+                   ) -> int:
+    """timm make_divisible — SE reduced channels round to a multiple of 8."""
+    min_value = min_value or divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class SqueezeExcite(nn.Module):
+    """timm-exact EfficientNet SE as the reference configures it: reduced
+    channels = make_divisible(mid_chs * 0.25, 8) (reduce_mid=True, divisor=8),
+    ReLU inner act, hard-sigmoid gate (supernet.py se_kwargs)."""
     reduce_chs: int
     dtype: Dtype = jnp.float32
 
@@ -47,10 +69,10 @@ class SqueezeExciteSwish(nn.Module):
         s = x.mean(axis=(1, 2), keepdims=True)
         s = nn.Conv(self.reduce_chs, (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv_reduce")(s)
-        s = swish(s)
+        s = nn.relu(s)
         s = nn.Conv(x.shape[-1], (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv_expand")(s)
-        return x * jax.nn.sigmoid(s)
+        return x * hard_sigmoid(s)
 
 
 class InvertedResidual(nn.Module):
@@ -72,8 +94,8 @@ class InvertedResidual(nn.Module):
         x = ConvBN(mid, self.kernel, self.stride, self.kernel // 2, groups=mid,
                    dtype=self.dtype, name="conv_dw")(x, train)
         x = swish(x)
-        x = SqueezeExciteSwish(max(1, int(in_chs * self.se_ratio)),
-                               dtype=self.dtype, name="se")(x)
+        x = SqueezeExcite(make_divisible(mid * self.se_ratio),
+                          dtype=self.dtype, name="se")(x)
         x = ConvBN(self.out_chs, 1, dtype=self.dtype, name="conv_pwl")(x, train)
         if self.stride == 1 and in_chs == self.out_chs:
             x = x + shortcut
@@ -92,8 +114,8 @@ class DepthwiseSeparable(nn.Module):
         x = ConvBN(in_chs, 3, 1, 1, groups=in_chs, dtype=self.dtype,
                    name="conv_dw")(x, train)
         x = swish(x)
-        x = SqueezeExciteSwish(max(1, int(in_chs * 0.25)), dtype=self.dtype,
-                               name="se")(x)
+        x = SqueezeExcite(make_divisible(in_chs * 0.25), dtype=self.dtype,
+                          name="se")(x)
         x = ConvBN(self.out_chs, 1, dtype=self.dtype, name="conv_pw")(x, train)
         if in_chs == self.out_chs:
             x = x + shortcut
@@ -147,8 +169,9 @@ class CreamSupernet(nn.Module):
                                 name=f"stage_{s}_layer_{i}")(
                                     x, architecture[li], train)
                 li += 1
-        x = InvertedResidual(320, 1, 6, 1, dtype=self.dtype,
-                             name="blocks_tail")(x, train)
+        # tail is ConvBnAct 'cn_r1_k1_s1_c320' (supernet.py arch_def stage 6)
+        x = ConvBN(320, 1, dtype=self.dtype, name="blocks_tail")(x, train)
+        x = swish(x)
         x = x.mean(axis=(1, 2), keepdims=True)
         x = nn.Conv(self.num_features, (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv_head")(x)
@@ -175,12 +198,26 @@ class MetaMatchingHead(nn.Module):
 
 class CreamChildNet(nn.Module):
     """Fixed-genotype retrain/deploy model (Cream/lib/models/structures/
-    childnet.py): the supernet body with exactly one op per layer."""
-    arch: tuple                      # per-layer op ids, -1 = skipped
+    childnet.py): the supernet body with exactly one op per layer.
+
+    `arch` is per-stage: a tuple of tuples of choice ids, one inner tuple per
+    searchable stage with one id per KEPT layer (variable depth, like the
+    released Cream_14..604 arch_lists in Cream/tools/test.py:52-76 minus
+    their [0] stem/tail sentinels). Layer i>0 always runs at stride 1
+    (build_childnet.py:126-127).
+
+    `released_quirk`: the reference's gen_childnet skips choice substitution
+    for single-block stages (`if len(layer_arch) == 1: ... continue`,
+    childnet.py:113-117) — meant for the [0] stem/tail sentinels, it also
+    hits real one-layer stages, so released checkpoints keep the
+    choice_block_pool default kernel/expansion there. True for released-ckpt
+    models; False for supernet extraction (which honors the sampled op)."""
+    arch: tuple                      # ((op, ...) per stage)
     num_classes: int = 1000
     stem_chs: int = 16
     num_features: int = 1280
     stages: Sequence = SEARCH_STAGES
+    released_quirk: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -188,18 +225,15 @@ class CreamChildNet(nn.Module):
         x = ConvBN(self.stem_chs, 3, 2, 1, dtype=self.dtype, name="conv_stem")(x, train)
         x = swish(x)
         x = DepthwiseSeparable(16, dtype=self.dtype, name="blocks_0")(x, train)
-        li = 0
-        for s, (chs, depth, stride) in enumerate(self.stages):
-            for i in range(depth):
-                op = self.arch[li]
-                if op >= 0:
-                    k, e = CHOICES[op]
-                    x = InvertedResidual(chs, k, e, stride if i == 0 else 1,
-                                         dtype=self.dtype,
-                                         name=f"stage_{s}_layer_{i}")(x, train)
-                li += 1
-        x = InvertedResidual(320, 1, 6, 1, dtype=self.dtype,
-                             name="blocks_tail")(x, train)
+        for s, (chs, _, stride) in enumerate(self.stages):
+            single = len(self.arch[s]) == 1 and self.released_quirk
+            for i, op in enumerate(self.arch[s]):
+                k, e = STAGE_DEFAULTS[s] if single else CHOICES[op]
+                x = InvertedResidual(chs, k, e, stride if i == 0 else 1,
+                                     dtype=self.dtype,
+                                     name=f"stage_{s}_layer_{i}")(x, train)
+        x = ConvBN(320, 1, dtype=self.dtype, name="blocks_tail")(x, train)
+        x = swish(x)
         x = x.mean(axis=(1, 2), keepdims=True)
         x = nn.Conv(self.num_features, (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv_head")(x)
@@ -207,14 +241,38 @@ class CreamChildNet(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(x)
 
 
+def nest_arch(arch, stages=SEARCH_STAGES) -> tuple:
+    """Flat per-layer op ids (-1 = skipped, supernet layout) -> per-stage
+    tuples of kept choice ids (childnet layout)."""
+    import numpy as np
+    flat = [int(a) for a in np.asarray(arch).ravel()]
+    out, li = [], 0
+    for _, depth, _ in stages:
+        out.append(tuple(a for a in flat[li:li + depth] if a >= 0))
+        li += depth
+    return tuple(out)
+
+
 def extract_childnet(variables: dict, arch, num_classes: int = 1000,
                      stages=SEARCH_STAGES, dtype=jnp.float32
                      ) -> tuple[CreamChildNet, dict]:
     """Copy the chosen choice's parameters out of a trained supernet into a
-    fixed CreamChildNet (physically drops the other five choices per layer)."""
+    fixed CreamChildNet (physically drops the other five choices per layer).
+    `arch` is the flat supernet form (-1 = skipped); kept layers re-index
+    densely in the childnet."""
     import numpy as np
 
-    arch = [int(a) for a in np.asarray(arch).ravel()]
+    flat = [int(a) for a in np.asarray(arch).ravel()]
+    # supernet layer index -> (stage, dense childnet index) for kept layers
+    remap: dict[tuple[int, int], int] = {}
+    li = 0
+    for s, (_, depth, _) in enumerate(stages):
+        dense = 0
+        for i in range(depth):
+            if flat[li] >= 0:
+                remap[(s, i)] = dense
+                dense += 1
+            li += 1
 
     def take(tree):
         out_p, out_s = {}, {}
@@ -224,15 +282,16 @@ def extract_childnet(variables: dict, arch, num_classes: int = 1000,
                 if key.startswith("stage_"):
                     _, s, _, i = key.split("_")
                     li = sum(d for _, d, _ in stages[:int(s)]) + int(i)
-                    if arch[li] < 0:
+                    if flat[li] < 0:
                         continue
-                    dst[key] = sub[f"choice_{arch[li]}"]
+                    dense = remap[(int(s), int(i))]
+                    dst[f"stage_{s}_layer_{dense}"] = sub[f"choice_{flat[li]}"]
                 else:
                     dst[key] = sub
         return {"params": out_p, "batch_stats": out_s}
 
-    model = CreamChildNet(arch=tuple(arch), num_classes=num_classes,
-                          stages=stages, dtype=dtype)
+    model = CreamChildNet(arch=nest_arch(flat, stages),
+                          num_classes=num_classes, stages=stages, dtype=dtype)
     return model, take(variables)
 
 
@@ -243,5 +302,42 @@ def cream_supernet(num_classes: int = 1000, dtype=jnp.float32, **kw):
 
 @register_model
 def cream_childnet(arch, num_classes: int = 1000, dtype=jnp.float32, **kw):
-    return CreamChildNet(arch=tuple(arch), num_classes=num_classes,
+    """`arch`: per-stage tuples of choice ids, or the flat -1-padded
+    supernet form (converted via nest_arch)."""
+    arch = tuple(arch)
+    if arch and not isinstance(arch[0], (tuple, list)):
+        arch = nest_arch(arch, kw.get("stages", SEARCH_STAGES))
+    arch = tuple(tuple(s) for s in arch)
+    return CreamChildNet(arch=arch, num_classes=num_classes,
                          dtype=dtype, **kw)
+
+
+# released-checkpoint genotypes (Cream/tools/test.py:52-76, stem/tail [0]
+# sentinels dropped; values index CHOICES = kernel{3,5,7} x expand{4,6})
+RELEASED_CHILDNETS = {
+    "cream_14": ((3,), (3, 3), (3, 3), (3,), (3,)),
+    "cream_43": ((3,), (3, 1), (3, 1), (3, 3, 3), (3, 3)),
+    "cream_114": ((3,), (3, 3), (3, 3), (3, 3, 3), (3, 3)),
+    "cream_287": ((3,), (3, 3), (3, 1, 3), (3, 3, 3, 3), (3, 3, 3)),
+    "cream_481": ((3, 4, 3, 1), (3, 2, 3, 0), (3, 3, 3, 1, 1), (3, 3, 3, 3),
+                  (3, 3, 3, 3)),
+    "cream_604": ((3, 3, 2, 3, 3), (3, 2, 3, 2, 3), (3, 2, 3, 2, 3),
+                  (3, 3, 2, 2, 3, 3), (3, 3, 2, 3, 3, 3)),
+}
+# eval resolutions per released model (test.py sets DATASET.IMAGE_SIZE)
+RELEASED_CHILDNET_IMG_SIZE = {
+    "cream_14": 64, "cream_43": 96, "cream_114": 160,
+    "cream_287": 224, "cream_481": 224, "cream_604": 224,
+}
+
+
+def _make_released_factory(name, arch):
+    def factory(num_classes: int = 1000, dtype=jnp.float32, **kw):
+        return CreamChildNet(arch=arch, num_classes=num_classes, dtype=dtype,
+                             released_quirk=True, **kw)
+    factory.__name__ = name
+    return factory
+
+
+for _name, _arch in RELEASED_CHILDNETS.items():
+    register_model(_make_released_factory(_name, _arch))

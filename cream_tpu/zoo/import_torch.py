@@ -519,3 +519,47 @@ def convert_clip_rn(sd: Mapping[str, np.ndarray], layers=(3, 4, 6, 3),
     b.raw(sd["text_projection"], "text/text_projection")
     b.raw(sd["logit_scale"].reshape(()), "logit_scale")
     return b.variables()
+
+
+def convert_cream_childnet(sd: Mapping[str, np.ndarray], arch,
+                           with_head: bool = True) -> dict:
+    """Cream released-childnet torch state_dict -> flax variables
+    (models/cream.py CreamChildNet naming).
+
+    Reference layout: Cream/lib/models/structures/childnet.py — timm
+    efficientnet keys (conv_stem/bn1, blocks.{stage}.{i}.{conv_pw,bn1,
+    conv_dw,bn2,se.conv_reduce,se.conv_expand,conv_pwl,bn3}, blocks.0.0 ds
+    block, blocks.{last}.0 ConvBnAct tail, conv_head w/ bias, classifier).
+    `arch` is the per-stage nested genotype (models/cream.py
+    RELEASED_CHILDNETS / nest_arch output) — only layer counts are used.
+    """
+    b = _TreeBuilder()
+
+    def conv_bn_split(conv_tp: str, bn_tp: str, fp: str):
+        b._set(b.params, f"{fp}/conv/kernel", _conv(sd[f"{conv_tp}.weight"]))
+        b.bn(sd, bn_tp, f"{fp}/bn")
+
+    def se(tp: str, fp: str):
+        b.conv_biased(sd, f"{tp}.se.conv_reduce", f"{fp}/se/conv_reduce")
+        b.conv_biased(sd, f"{tp}.se.conv_expand", f"{fp}/se/conv_expand")
+
+    conv_bn_split("conv_stem", "bn1", "conv_stem")
+    p = "blocks.0.0"
+    conv_bn_split(f"{p}.conv_dw", f"{p}.bn1", "blocks_0/conv_dw")
+    se(p, "blocks_0")
+    conv_bn_split(f"{p}.conv_pw", f"{p}.bn2", "blocks_0/conv_pw")
+    for s, ops in enumerate(arch):
+        for i in range(len(ops)):
+            p = f"blocks.{s + 1}.{i}"
+            fp = f"stage_{s}_layer_{i}"
+            conv_bn_split(f"{p}.conv_pw", f"{p}.bn1", f"{fp}/conv_pw")
+            conv_bn_split(f"{p}.conv_dw", f"{p}.bn2", f"{fp}/conv_dw")
+            se(p, fp)
+            conv_bn_split(f"{p}.conv_pwl", f"{p}.bn3", f"{fp}/conv_pwl")
+    tail = f"blocks.{len(arch) + 1}.0"
+    conv_bn_split(f"{tail}.conv", f"{tail}.bn1", "blocks_tail")
+    b.raw(_conv(sd["conv_head.weight"]), "conv_head/kernel")
+    b.raw(sd["conv_head.bias"], "conv_head/bias")
+    if with_head:
+        b.dense(sd, "classifier", "classifier")
+    return b.variables()

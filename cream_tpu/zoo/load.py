@@ -55,6 +55,10 @@ def convert_for_model(name: str, sd: Mapping[str, np.ndarray],
                                text_layers=cfg.text_layers)
     if name.startswith("autoformer_supernet"):
         return it.convert_autoformer_supernet(sd)
+    if name.startswith("cream_"):
+        from cream_tpu.models.cream import RELEASED_CHILDNETS
+        return it.convert_cream_childnet(sd, RELEASED_CHILDNETS[name],
+                                         with_head=with_head)
     raise ValueError(f"no torch importer wired for model {name!r}")
 
 

@@ -235,3 +235,267 @@ def load_detr_module(name: str):
             sys.modules[pkg_name] = pkg
     sys.modules.setdefault("models.rpe_attention", load_detr_rpe_attention())
     return importlib.import_module(name)
+
+
+def install_timm_efficientnet_stub():
+    """timm.models.efficientnet_blocks + layers the Cream childnet builder
+    imports (timm ~0.3-era public API, re-implemented; the reference vendors
+    the IR block itself in lib/models/blocks/inverted_residual_block.py and
+    that real file is loaded on top of this stub)."""
+    install_timm_stub()
+    import math
+    import re as _re
+    from copy import deepcopy
+    from collections import OrderedDict
+    import torch
+    import torch.nn.functional as F
+
+    if "timm.models.efficientnet_blocks" in sys.modules:
+        return
+
+    def sigmoid(x, inplace=False):
+        return x.sigmoid()
+
+    def hard_sigmoid(x, inplace=False):
+        return F.relu6(x + 3.0) / 6.0
+
+    class Swish(nn.Module):
+        def __init__(self, inplace=False):
+            super().__init__()
+
+        def forward(self, x):
+            return x * torch.sigmoid(x)
+
+    def make_divisible(v, divisor=8, min_value=None):
+        min_value = min_value or divisor
+        new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+        if new_v < 0.9 * v:
+            new_v += divisor
+        return new_v
+
+    def round_channels(channels, multiplier=1.0, divisor=8, channel_min=None):
+        if not multiplier:
+            return channels
+        return make_divisible(channels * multiplier, divisor, channel_min)
+
+    def get_padding(kernel_size, stride=1, dilation=1):
+        return ((stride - 1) + dilation * (kernel_size - 1)) // 2
+
+    def create_conv2d(in_chs, out_chs, kernel_size, stride=1, dilation=1,
+                      padding="", depthwise=False, bias=False, **kw):
+        groups = in_chs if depthwise else 1
+        pad = padding if isinstance(padding, int) else \
+            get_padding(kernel_size, stride, dilation)
+        return nn.Conv2d(in_chs, out_chs, kernel_size, stride, pad, dilation,
+                         groups=groups, bias=bias)
+
+    _SE_ARGS_DEFAULT = dict(gate_fn=sigmoid, act_layer=None,
+                            reduce_mid=False, divisor=1)
+
+    def resolve_se_args(kwargs, in_chs, act_layer=None):
+        se_kwargs = kwargs.copy() if kwargs is not None else {}
+        for k, v in _SE_ARGS_DEFAULT.items():
+            se_kwargs.setdefault(k, v)
+        if not se_kwargs.pop("reduce_mid"):
+            se_kwargs["reduced_base_chs"] = in_chs
+        if se_kwargs["act_layer"] is None:
+            se_kwargs["act_layer"] = act_layer
+        return se_kwargs
+
+    def resolve_bn_args(kwargs):
+        out = {}
+        if kwargs.get("bn_momentum") is not None:
+            out["momentum"] = kwargs["bn_momentum"]
+        if kwargs.get("bn_eps") is not None:
+            out["eps"] = kwargs["bn_eps"]
+        return out
+
+    def drop_path(x, drop_prob=0.0, training=False):
+        if drop_prob == 0.0 or not training:
+            return x
+        keep = 1 - drop_prob
+        mask = keep + torch.rand((x.shape[0], 1, 1, 1), dtype=x.dtype)
+        return x.div(keep) * mask.floor_()
+
+    class SqueezeExcite(nn.Module):
+        def __init__(self, in_chs, se_ratio=0.25, reduced_base_chs=None,
+                     act_layer=nn.ReLU, gate_fn=sigmoid, divisor=1, **_):
+            super().__init__()
+            reduced = make_divisible((reduced_base_chs or in_chs) * se_ratio,
+                                     divisor)
+            self.conv_reduce = nn.Conv2d(in_chs, reduced, 1, bias=True)
+            self.act1 = act_layer(inplace=True)
+            self.conv_expand = nn.Conv2d(reduced, in_chs, 1, bias=True)
+            self.gate_fn = gate_fn
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            s = self.conv_expand(self.act1(self.conv_reduce(s)))
+            return x * self.gate_fn(s)
+
+    class ConvBnAct(nn.Module):
+        def __init__(self, in_chs, out_chs, kernel_size, stride=1, dilation=1,
+                     pad_type="", act_layer=nn.ReLU,
+                     norm_layer=nn.BatchNorm2d, norm_kwargs=None, **_):
+            super().__init__()
+            self.conv = create_conv2d(in_chs, out_chs, kernel_size, stride,
+                                      dilation, pad_type)
+            self.bn1 = norm_layer(out_chs, **(norm_kwargs or {}))
+            self.act1 = act_layer(inplace=True)
+
+        def feature_module(self, location):
+            return ""
+
+        def feature_channels(self, location):
+            return self.conv.out_channels
+
+        def forward(self, x):
+            return self.act1(self.bn1(self.conv(x)))
+
+    class DepthwiseSeparableConv(nn.Module):
+        def __init__(self, in_chs, out_chs, dw_kernel_size=3, stride=1,
+                     dilation=1, pad_type="", act_layer=nn.ReLU, noskip=False,
+                     pw_kernel_size=1, pw_act=False, se_ratio=0.0,
+                     se_kwargs=None, norm_layer=nn.BatchNorm2d,
+                     norm_kwargs=None, drop_path_rate=0.0, **_):
+            super().__init__()
+            norm_kwargs = norm_kwargs or {}
+            self.has_residual = (stride == 1 and in_chs == out_chs) and not noskip
+            self.drop_path_rate = drop_path_rate
+            self.conv_dw = create_conv2d(in_chs, in_chs, dw_kernel_size,
+                                         stride, dilation, pad_type,
+                                         depthwise=True)
+            self.bn1 = norm_layer(in_chs, **norm_kwargs)
+            self.act1 = act_layer(inplace=True)
+            if se_ratio is not None and se_ratio > 0.0:
+                se_kwargs = resolve_se_args(se_kwargs, in_chs, act_layer)
+                self.se = SqueezeExcite(in_chs, se_ratio=se_ratio, **se_kwargs)
+            else:
+                self.se = None
+            self.conv_pw = create_conv2d(in_chs, out_chs, pw_kernel_size,
+                                         padding=pad_type)
+            self.bn2 = norm_layer(out_chs, **norm_kwargs)
+            self.act2 = act_layer(inplace=True) if pw_act else nn.Identity()
+
+        def feature_module(self, location):
+            return ""
+
+        def feature_channels(self, location):
+            return self.conv_pw.out_channels
+
+        def forward(self, x):
+            residual = x
+            x = self.act1(self.bn1(self.conv_dw(x)))
+            if self.se is not None:
+                x = self.se(x)
+            x = self.act2(self.bn2(self.conv_pw(x)))
+            if self.has_residual:
+                if self.drop_path_rate > 0.0:
+                    x = drop_path(x, self.drop_path_rate, self.training)
+                x += residual
+            return x
+
+    eb = types.ModuleType("timm.models.efficientnet_blocks")
+    eb.sigmoid = sigmoid
+    eb.hard_sigmoid = hard_sigmoid
+    eb.make_divisible = make_divisible
+    eb.round_channels = round_channels
+    eb.create_conv2d = create_conv2d
+    eb.resolve_se_args = resolve_se_args
+    eb.resolve_bn_args = resolve_bn_args
+    eb.drop_path = drop_path
+    eb.SqueezeExcite = SqueezeExcite
+    eb.ConvBnAct = ConvBnAct
+    eb.DepthwiseSeparableConv = DepthwiseSeparableConv
+
+    class SelectAdaptivePool2d(nn.Module):
+        def __init__(self, output_size=1, pool_type="avg", flatten=False):
+            super().__init__()
+            self.flatten = flatten
+
+        def feat_mult(self):
+            return 1
+
+        def forward(self, x):
+            x = x.mean((2, 3), keepdim=True)
+            return x.flatten(1) if self.flatten else x
+
+    class CondConv2d(nn.Module):
+        pass
+
+    layers = sys.modules["timm.models.layers"]
+    layers.create_conv2d = create_conv2d
+    layers.SelectAdaptivePool2d = SelectAdaptivePool2d
+    layers.CondConv2d = CondConv2d
+    layers.get_condconv_initializer = lambda *a, **k: (lambda w: None)
+    acts = types.ModuleType("timm.models.layers.activations")
+    acts.Swish = Swish
+    acts.hard_sigmoid = hard_sigmoid
+    acts.sigmoid = sigmoid
+    layers.activations = acts
+
+    tutils = types.ModuleType("timm.utils")
+    tutils.deepcopy = deepcopy
+    tutils.OrderedDict = OrderedDict
+    tutils.math = math
+    tutils.re = _re
+
+    class AverageMeter:
+        def __init__(self):
+            self.avg = self.sum = self.count = 0
+
+        def update(self, val, n=1):
+            self.sum += val * n
+            self.count += n
+            self.avg = self.sum / max(1, self.count)
+
+    tutils.AverageMeter = AverageMeter
+    sys.modules["timm"].utils = tutils
+    sys.modules.update({
+        "timm.models.efficientnet_blocks": eb,
+        "timm.models.layers.activations": acts,
+        "timm.utils": tutils,
+    })
+
+
+def load_cream_childnet_module():
+    """Import the reference Cream childnet stack (childnet.py +
+    build_childnet.py + builder_util.py, all real reference code; plus the
+    vendored IR block) against the timm stub. Returns the childnet module
+    (gen_childnet, ChildNet)."""
+    if "ref_cream_childnet" in sys.modules:
+        return sys.modules["ref_cream_childnet"]
+    install_timm_efficientnet_stub()
+    from collections import OrderedDict
+
+    croot = f"{REFERENCE}/Cream/lib"
+    for name in ("lib", "lib.utils", "lib.models", "lib.models.builders",
+                 "lib.models.structures", "lib.models.blocks"):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = []
+            sys.modules[name] = pkg
+
+    util = types.ModuleType("lib.utils.util")
+    util.nn = nn
+    util.OrderedDict = OrderedDict
+    sys.modules["lib.utils.util"] = util
+
+    def _load(relpath, modname):
+        spec = importlib.util.spec_from_file_location(
+            modname, f"{croot}/{relpath}")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[modname] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    _load("utils/builder_util.py", "lib.utils.builder_util")
+    # the vendored (real reference) IR block replaces any stub version
+    irb = _load("models/blocks/inverted_residual_block.py",
+                "lib.models.blocks.inverted_residual_block")
+    sys.modules["timm.models.efficientnet_blocks"].InvertedResidual = \
+        irb.InvertedResidual
+    bc = _load("models/builders/build_childnet.py",
+               "lib.models.builders.build_childnet")
+    bc.InvertedResidual = irb.InvertedResidual
+    return _load("models/structures/childnet.py", "ref_cream_childnet")
