@@ -391,6 +391,11 @@ def normalize_clip_layout(sd: Mapping[str, np.ndarray]) -> dict:
     for k, v in sd.items():
         if k.startswith("module."):
             k = k[len("module."):]
+        # auto-weight-inheritance prefixes (model.py load_pruned_model:1322)
+        k = k.replace("image_encoder_without_ddp", "_image_encoder") \
+             .replace("text_encoder_without_ddp", "_text_encoder")
+        if k == "_logit_scale.logit_scale":
+            k = "logit_scale"
         if k.startswith("_image_encoder."):
             k = k.replace("_image_encoder.", "", 1)
             if k.startswith("module."):
@@ -563,3 +568,78 @@ def convert_cream_childnet(sd: Mapping[str, np.ndarray], arch,
     if with_head:
         b.dense(sd, "classifier", "classifier")
     return b.variables()
+
+
+def convert_clip_pruned(sd: Mapping[str, np.ndarray], vision_layers: int,
+                        text_layers: int, head_dim: int = 64
+                        ) -> tuple[dict, dict]:
+    """TinyCLIP auto-weight-inheritance PRUNED checkpoint -> ragged model.
+
+    The reference loads pruned checkpoints by zero-padding every tensor back
+    into the FULL model and masking the dead dims with l0 gates
+    (TinyCLIP/src/open_clip/model.py:1300-1409 load_pruned_model). The
+    TPU-native import materializes the ragged model directly instead: each
+    resblock's kept head count is read off in_proj_weight
+    (rows = 3*heads*head_dim, model.py MultiheadAttention.prune :239-263),
+    the kept MLP width off c_fc, the kept hidden width off ln_pre /
+    positional_embedding, and missing branches/layers (pruned away entirely,
+    ResidualAttentionBlock.prune :317-341) become heads=0 / mlp_width=0
+    block-skipping modules. Zero wasted compute, no gate tensors at eval.
+
+    `vision_layers`/`text_layers` are the FULL depths (from the family
+    config) so trailing fully-pruned layers keep their identity slots.
+    Returns (ragged_kwargs, variables): ragged_kwargs has vision_width,
+    vision_heads, vision_mlp_widths, text_width, text_heads_per_layer,
+    text_mlp_widths, embed_dim for building the flax CLIP.
+    """
+    sd = normalize_clip_layout(sd)
+    b = _TreeBuilder()
+
+    def block(tp: str, fp: str) -> tuple[int, int]:
+        heads = mlp = 0
+        if f"{tp}.attn.in_proj_weight" in sd:
+            heads = sd[f"{tp}.attn.in_proj_weight"].shape[0] // (3 * head_dim)
+            b.ln(sd, f"{tp}.ln_1", f"{fp}/ln_1")
+            b.dense_from(sd[f"{tp}.attn.in_proj_weight"],
+                         sd.get(f"{tp}.attn.in_proj_bias"), f"{fp}/attn/in_proj")
+            b.dense(sd, f"{tp}.attn.out_proj", f"{fp}/attn/out_proj")
+        if f"{tp}.mlp.c_fc.weight" in sd:
+            mlp = sd[f"{tp}.mlp.c_fc.weight"].shape[0]
+            b.ln(sd, f"{tp}.ln_2", f"{fp}/ln_2")
+            b.dense(sd, f"{tp}.mlp.c_fc", f"{fp}/c_fc")
+            b.dense(sd, f"{tp}.mlp.c_proj", f"{fp}/c_proj")
+        return heads, mlp
+
+    v_heads, v_mlps = [], []
+    b.raw(_conv(sd["visual.conv1.weight"]), "visual/conv1/kernel")
+    b.raw(sd["visual.class_embedding"], "visual/class_embedding")
+    b.raw(sd["visual.positional_embedding"], "visual/positional_embedding")
+    b.ln(sd, "visual.ln_pre", "visual/ln_pre")
+    for i in range(vision_layers):
+        h, m = block(f"visual.transformer.resblocks.{i}",
+                     f"visual/transformer/resblocks_{i}")
+        v_heads.append(h)
+        v_mlps.append(m)
+    b.ln(sd, "visual.ln_post", "visual/ln_post")
+    b.raw(sd["visual.proj"], "visual/proj")
+
+    t_heads, t_mlps = [], []
+    b.raw(sd["token_embedding.weight"], "text/token_embedding/embedding")
+    b.raw(sd["positional_embedding"], "text/positional_embedding")
+    for i in range(text_layers):
+        h, m = block(f"transformer.resblocks.{i}",
+                     f"text/transformer/resblocks_{i}")
+        t_heads.append(h)
+        t_mlps.append(m)
+    b.ln(sd, "ln_final", "text/ln_final")
+    b.raw(sd["text_projection"], "text/text_projection")
+    b.raw(np.asarray(sd["logit_scale"]).reshape(()), "logit_scale")
+
+    ragged = dict(
+        vision_width=int(sd["visual.ln_pre.weight"].shape[0]),
+        vision_heads=tuple(v_heads), vision_mlp_widths=tuple(v_mlps),
+        text_width=int(sd["positional_embedding"].shape[1]),
+        text_heads_per_layer=tuple(t_heads), text_mlp_widths=tuple(t_mlps),
+        embed_dim=int(sd["visual.proj"].shape[1]),
+    )
+    return ragged, b.variables()

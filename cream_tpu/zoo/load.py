@@ -81,6 +81,39 @@ def load_model_variables(name: str, ckpt_path: str,
     return variables
 
 
+def load_pruned_clip(name: str, ckpt, quick_gelu: bool = False,
+                     dtype=None) -> tuple:
+    """TinyCLIP auto-WI PRUNED checkpoint -> (ragged CLIP model, variables).
+
+    `name` picks the family config (full depths); `ckpt` is a .pth path or a
+    {key: array} state_dict. The ragged geometry (per-layer kept heads/MLP
+    widths, pruned hidden width, dropped layers) is read off the checkpoint
+    shapes and materialized directly — the TPU-native replacement for the
+    reference's zero-pad-into-full-model load_pruned_model
+    (TinyCLIP/src/open_clip/model.py:1300-1409).
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from cream_tpu.models.clip import _CLIP_CONFIGS, CLIP
+
+    cfg = _CLIP_CONFIGS[name]
+    sd = ckpt if isinstance(ckpt, dict) else it.load_torch_state_dict(ckpt)
+    ragged, variables = it.convert_clip_pruned(
+        sd, vision_layers=cfg.vision_layers, text_layers=cfg.text_layers)
+    cfg = dataclasses.replace(cfg, embed_dim=ragged["embed_dim"],
+                              vision_width=ragged["vision_width"],
+                              text_width=ragged["text_width"])
+    model = CLIP(cfg=cfg, quick_gelu=quick_gelu,
+                 vision_heads=ragged["vision_heads"],
+                 vision_mlp_widths=ragged["vision_mlp_widths"],
+                 text_heads_per_layer=ragged["text_heads_per_layer"],
+                 text_mlp_widths=ragged["text_mlp_widths"],
+                 dtype=dtype if dtype is not None else jnp.float32)
+    return model, variables
+
+
 def shape_template(model, img_size: int, in_chans: int = 3) -> dict:
     """jax.eval_shape of model.init at `img_size` — the remap target."""
     import jax

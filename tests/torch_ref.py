@@ -499,3 +499,23 @@ def load_cream_childnet_module():
                "lib.models.builders.build_childnet")
     bc.InvertedResidual = irb.InvertedResidual
     return _load("models/structures/childnet.py", "ref_cream_childnet")
+
+
+def load_tinyclip_module():
+    """Import the reference TinyCLIP open_clip/model.py live (relative deps
+    stubbed where heavyweight: .utils torchvision bits, .timm_model)."""
+    if "refoc.model" in sys.modules:
+        return sys.modules["refoc.model"]
+    install_timm_stub()
+    pkg_dir = f"{REFERENCE}/TinyCLIP/src/open_clip"
+    pkg = types.ModuleType("refoc")
+    pkg.__path__ = [pkg_dir]
+    sys.modules["refoc"] = pkg
+    u = types.ModuleType("refoc.utils")
+    u.freeze_batch_norm_2d = lambda *a, **k: None
+    u.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+    sys.modules["refoc.utils"] = u
+    tm = types.ModuleType("refoc.timm_model")
+    tm.TimmModel = type("TimmModel", (), {})
+    sys.modules["refoc.timm_model"] = tm
+    return importlib.import_module("refoc.model")
