@@ -29,6 +29,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cream_tpu.core.config import Config
 from cream_tpu.core.mesh import create_mesh, shard_batch
@@ -50,6 +51,11 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=20)
     ap.add_argument("--population", type=int, default=50)
     ap.add_argument("--max-eval-batches", type=int, default=20)
+    ap.add_argument("--eval-chunk", type=int, default=8,
+                    help="candidates scored per vmapped dispatch; 1 = serial")
+    ap.add_argument("--evo-subset", type=int, default=0,
+                    help="fixed per-class eval subset size (EVO_IMNET "
+                    "semantics, AutoFormer/lib/subImageNet.py); 0 = off")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--out", default="evolution_result.json")
     ap.add_argument("--ckpt", default=None,
@@ -94,6 +100,9 @@ def main(argv=None):
     variables = jax.device_put(variables, replicated_sharding(mesh))
 
     ds = build_dataset(cfg, train=False)
+    if args.evo_subset > 0 and hasattr(ds, "samples"):
+        from cream_tpu.data.imagenet import sub_imagenet
+        ds = sub_imagenet(ds, per_class=args.evo_subset)
     batches = []
     for i, b in enumerate(eval_loader(ds, cfg.data.batch_size,
                                       cfg.data.img_size, cfg.data.crop)):
@@ -119,9 +128,44 @@ def main(argv=None):
             n += int(ni)
         return c / max(n, 1)
 
+    # candidate-parallel fitness: the masked supernet takes the encoded
+    # config as traced data, so vmapping over a stacked batch of configs
+    # scores K candidates per dispatch with one compiled program (the
+    # reference evaluates serially, AutoFormer/evolution.py:102-103).
+    # Fixed chunk size K (pad by repeating the last config) avoids retraces.
+    K = args.eval_chunk
+
+    @jax.jit
+    def batch_acc_fn(variables, batch, encs):
+        def one(enc):
+            logits = model.apply(variables, batch["image"], enc)
+            valid = batch["label"] >= 0
+            correct = (logits.argmax(-1) == batch["label"]) & valid
+            return correct.sum(), valid.sum()
+        return jax.vmap(one)(encs)
+
+    def batch_eval_fn(configs):
+        import jax.tree_util as jtu
+        scores = []
+        for i in range(0, len(configs), K):
+            chunk = configs[i:i + K]
+            pad = K - len(chunk)
+            encs = [encode_config(c, space) for c in chunk]
+            encs += [encs[-1]] * pad
+            stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *encs)
+            c = np.zeros(K)
+            n = np.zeros(K)
+            for b in batches:
+                ci, ni = batch_acc_fn(variables, b, stacked)
+                c += np.asarray(ci)
+                n += np.asarray(ni)
+            scores.extend((c / np.maximum(n, 1))[:len(chunk)].tolist())
+        return scores
+
     searcher = EvolutionSearcher(
         sample_fn=lambda rng: sample_config(rng, space),
         eval_fn=eval_fn,
+        batch_eval_fn=batch_eval_fn if K > 1 else None,
         mutate_fn=lambda rng, c: autoformer_mutate(rng, c, space),
         crossover_fn=autoformer_crossover,
         is_legal_extra=lambda c: args.param_min <= config_param_count(c)

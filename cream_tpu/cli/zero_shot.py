@@ -62,8 +62,10 @@ def main(argv=None):
         variables, x, method="encode_image"))
 
     kw = {"templates": templates} if templates else {}
+    from cream_tpu.core.mesh import create_mesh
     classifier = build_zero_shot_classifier(encode_text, tokenizer,
-                                            classnames, **kw)
+                                            classnames, mesh=create_mesh(),
+                                            **kw)
     batches = (
         {"image": jnp.asarray(b["image"], dtype), "label": b["label"]}
         for b in eval_loader(ds, cfg.data.batch_size, model.cfg.image_size,

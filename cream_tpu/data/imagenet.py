@@ -72,6 +72,32 @@ class ImageFolder:
         return Image.open(path), label
 
 
+def sub_imagenet(dataset: "ImageFolder", per_class: int = 100,
+                 seed: int = 0) -> "ImageFolder":
+    """Fixed per-class subset with the reference's exact membership.
+
+    AutoFormer evolution evaluates candidates on EVO_IMNET — a subImageNet
+    folder built once by lib/subImageNet.py: `random.seed(0)` then, per
+    class in sorted order, `random.sample(sorted(os.listdir(class)), 100)`.
+    This reproduces that selection in-place (same python-random sequence, no
+    file copying), so the candidate-fitness population is the same fixed,
+    order-independent set — not a loader-order-dependent truncation."""
+    import copy
+    import random
+
+    rng = random.Random(seed)
+    by_class: dict[int, list[tuple[str, int]]] = {}
+    for path, label in dataset.samples:
+        by_class.setdefault(label, []).append((path, label))
+    sub = copy.copy(dataset)
+    sub.samples = []
+    for label in sorted(by_class):
+        entries = sorted(by_class[label], key=lambda e: os.path.basename(e[0]))
+        take = rng.sample(entries, min(per_class, len(entries)))
+        sub.samples.extend(take)
+    return sub
+
+
 class ZipImageFolder:
     """ImageFolder over a zip archive: members named class/img.jpeg."""
 

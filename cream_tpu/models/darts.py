@@ -149,9 +149,15 @@ def make_op(name: str, C: int, stride: int, dtype=jnp.float32,
             return lambda x, train=False: x
         return FactorizedReduce(C, dtype=dtype, name=mn)
     if name == "max_pool_3x3":
-        return PoolBN("max", stride, dtype=dtype, name=mn)
+        # CDARTS maps pools to bare Pool — NO BatchNorm (ops.py:12-13 use
+        # Pool, not the dead PoolBN class); released retrain ckpts have no
+        # pool BN params.
+        return lambda x, train=False: nn.max_pool(
+            x, (3, 3), strides=(stride, stride), padding=[(1, 1)] * 2)
     if name == "avg_pool_3x3":
-        return PoolBN("avg", stride, dtype=dtype, name=mn)
+        return lambda x, train=False: nn.avg_pool(
+            x, (3, 3), strides=(stride, stride), padding=[(1, 1)] * 2,
+            count_include_pad=False)
     if name == "sep_conv_3x3":
         return SepConv(C, 3, stride, dtype=dtype, name=mn)
     if name == "sep_conv_5x5":
@@ -354,6 +360,120 @@ class AugmentCNN(nn.Module):
             red_p = reduction
         x = s1.mean(axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=self.dtype, name="head")(x)
+
+
+def genotype_from_str(s: str) -> Genotype:
+    """Parse a genotype repr string (CDARTS/lib/utils/genotypes.py:36-53
+    from_str; the cell_file JSONs store these). Evaluated in a namespace
+    exposing only Genotype and range."""
+    g = eval(s, {"__builtins__": {}, "Genotype": Genotype, "range": range})
+    return Genotype(normal=[list(map(tuple, e)) for e in g.normal],
+                    normal_concat=list(g.normal_concat),
+                    reduce=[list(map(tuple, e)) for e in g.reduce],
+                    reduce_concat=list(g.reduce_concat))
+
+
+def cdarts_retrain_plan(model_type: str, res_stem: bool,
+                        n_layers: int | None = None):
+    """(layers_reduction, augment_layers, initial reduction_p) exactly as
+    ModelTest.__init__ sets them (lib/models/model_test.py:20-40)."""
+    if model_type == "cifar":
+        return [True, True, False], [7, 7, 6], False
+    if model_type == "imagenet":
+        if res_stem:
+            return [False, True, True, True], [3, 4, 3, 4], False
+        return [True, True, False], [5, 5, 4], True
+    raise ValueError(model_type)
+
+
+class CDARTSRetrain(nn.Module):
+    """CDARTS retrain/eval network — the reference's ModelTest
+    (CDARTS/lib/models/model_test.py): a cifar/imagenet/resnet stem followed
+    by layer groups of AugmentCells built from per-layer genotypes, with the
+    group's reduction cell at the end (start for res_stem), global average
+    pool and a linear classifier. Loads the released retrain checkpoints
+    (CDARTS/CDARTS/test.py:72-86 + cells/*.json genotypes)."""
+    genotypes: tuple                 # one Genotype per layer group
+    model_type: str = "imagenet"
+    res_stem: bool = False
+    init_channels: int = 48
+    stem_multiplier: int = 3
+    num_classes: int = 1000
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        reductions, cell_nums, reduction_p = cdarts_retrain_plan(
+            self.model_type, self.res_stem)
+        C0 = self.init_channels * self.stem_multiplier
+        if self.model_type == "cifar":
+            s0 = s1 = ConvBN(C0, 3, 1, 1, dtype=self.dtype,
+                             name="stem")(x, train)
+        elif self.res_stem:
+            h = ConvBN(C0, 7, 2, 3, dtype=self.dtype, name="stem")(x, train)
+            h = nn.relu(h)
+            h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        constant_values=-jnp.inf)
+            s0 = s1 = nn.max_pool(h, (3, 3), strides=(2, 2))
+        else:
+            h = ConvBN(C0 // 2, 3, 2, 1, dtype=self.dtype,
+                       name="stem0_a")(x, train)
+            h = nn.relu(h)
+            s0 = ConvBN(C0, 3, 2, 1, dtype=self.dtype, name="stem0_b")(h, train)
+            h = nn.relu(s0)
+            s1 = ConvBN(C0, 3, 2, 1, dtype=self.dtype, name="stem1")(h, train)
+
+        c_cur = self.init_channels
+        for li, genotype in enumerate(self.genotypes):
+            reduction_cur = reductions[li]
+            cell_num = cell_nums[li]
+            reduction_idx = 0 if self.res_stem else cell_num - 1
+            C = c_cur
+            for i in range(cell_num):
+                reduction = (i == reduction_idx) and reduction_cur
+                if reduction:
+                    C *= 2
+                gene = genotype.reduce if reduction else genotype.normal
+                concat = (genotype.reduce_concat if reduction
+                          else genotype.normal_concat)
+                cell = AugmentCell(tuple(tuple(e) for e in gene),
+                                   tuple(concat), C, reduction_p, reduction,
+                                   dtype=self.dtype, name=f"cell_{li}_{i}")
+                s0, s1 = s1, cell(s0, s1, train)
+                reduction_p = reduction
+            if reduction_cur:
+                c_cur *= 2
+            if self.res_stem:
+                reduction_p = False
+
+        x = s1.mean(axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+
+
+@register_model
+def cdarts_retrain_imagenet(genotypes, num_classes: int = 1000,
+                            init_channels: int = 48, res_stem: bool = False,
+                            dtype=jnp.float32, **kw):
+    """genotypes: per-layer Genotype list, or the cell_file dict/strings."""
+    if isinstance(genotypes, dict):
+        genotypes = [genotypes[k] for k in sorted(genotypes, key=int)]
+    genotypes = tuple(genotype_from_str(g) if isinstance(g, str) else g
+                      for g in genotypes)
+    return CDARTSRetrain(genotypes=genotypes, model_type="imagenet",
+                         res_stem=res_stem, init_channels=init_channels,
+                         num_classes=num_classes, dtype=dtype, **kw)
+
+
+@register_model
+def cdarts_retrain_cifar(genotypes, num_classes: int = 10,
+                         init_channels: int = 36, dtype=jnp.float32, **kw):
+    if isinstance(genotypes, dict):
+        genotypes = [genotypes[k] for k in sorted(genotypes, key=int)]
+    genotypes = tuple(genotype_from_str(g) if isinstance(g, str) else g
+                      for g in genotypes)
+    return CDARTSRetrain(genotypes=genotypes, model_type="cifar",
+                         init_channels=init_channels,
+                         num_classes=num_classes, dtype=dtype, **kw)
 
 
 @register_model

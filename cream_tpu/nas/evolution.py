@@ -32,6 +32,13 @@ class EvolutionSearcher:
     mutate_fn: Callable[[np.random.Generator, dict], dict]
     crossover_fn: Callable[[np.random.Generator, dict, dict], dict]
     is_legal_extra: Callable[[dict], bool] = lambda cfg: True
+    # Optional candidate-parallel fitness: scores a LIST of configs in one
+    # call. The masked supernet takes the sampled config as traced data, so
+    # a vmap over a stacked batch of encoded configs evaluates k candidates
+    # in one compiled dispatch — architecturally ahead of the reference's
+    # one-candidate-at-a-time full-val-epoch scheme
+    # (AutoFormer/evolution.py:102-103). When set, eval_fn is unused.
+    batch_eval_fn: Callable[[list], list] | None = None
     population_num: int = 50
     select_num: int = 10
     mutation_num: int = 25
@@ -66,22 +73,42 @@ class EvolutionSearcher:
         if key in self.visited or not self.is_legal_extra(config):
             return False
         self.visited.add(key)
-        score = float(self.eval_fn(config))
+        self._record(config, float(self.eval_fn(config)))
+        return True
+
+    def _record(self, config: dict, score: float):
         self.top_k.append((score, config))
         self.top_k.sort(key=lambda t: -t[0])
         self.top_k = self.top_k[:max(self.select_num, 50)]
         self.history.append({"epoch": self.epoch, "score": score,
                              "config": config})
-        return True
 
     def _fill(self, n: int, gen: Callable[[], dict], max_tries_factor: int = 20):
-        produced = 0
+        if self.batch_eval_fn is None:
+            produced = 0
+            tries = 0
+            while produced < n and tries < n * max_tries_factor:
+                tries += 1
+                if self._try_candidate(gen()):
+                    produced += 1
+            return produced
+        # candidate-parallel path: collect unique legal configs first, then
+        # score the whole batch in one call
+        configs: list[dict] = []
         tries = 0
-        while produced < n and tries < n * max_tries_factor:
+        while len(configs) < n and tries < n * max_tries_factor:
             tries += 1
-            if self._try_candidate(gen()):
-                produced += 1
-        return produced
+            config = gen()
+            key = _freeze(config)
+            if key in self.visited or not self.is_legal_extra(config):
+                continue
+            self.visited.add(key)
+            configs.append(config)
+        if configs:
+            scores = self.batch_eval_fn(configs)
+            for config, score in zip(configs, scores):
+                self._record(config, float(score))
+        return len(configs)
 
     # --- the search loop (evolution.py:242-283) ---
     def search(self, log=print) -> list[tuple[float, dict]]:

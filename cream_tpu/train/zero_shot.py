@@ -45,14 +45,33 @@ def openai_imagenet_constants() -> tuple[list, list]:
 
 def build_zero_shot_classifier(encode_text_fn, tokenizer, classnames,
                                templates=DEFAULT_TEMPLATES,
-                               batch_size: int = 64) -> jnp.ndarray:
-    """-> (embed_dim, num_classes) classifier, template-averaged + normalized."""
+                               batch_size: int = 64, mesh=None) -> jnp.ndarray:
+    """-> (embed_dim, num_classes) classifier, template-averaged + normalized.
+
+    With `mesh`, each chunk's token batch is sharded over the 'data' axis so
+    every device encodes a slice of the class/template texts — the mesh form
+    of the reference's rank-sharded build + all_gather
+    (TinyCLIP/src/training/zero_shot.py:50-62). Token rows are zero-padded
+    to a device multiple and the padding is sliced off after encoding.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_sharding = NamedSharding(mesh, P("data"))
+        n_dev = mesh.devices.size
     weights = []
     for i in range(0, len(classnames), batch_size):
         chunk = classnames[i:i + batch_size]
         texts = [t.format(c) for c in chunk for t in templates]
-        tokens = tokenizer(texts)
-        emb = encode_text_fn(jnp.asarray(tokens))            # (C*T, D) normalized
+        tokens = np.asarray(tokenizer(texts))
+        rows = tokens.shape[0]
+        if mesh is not None:
+            pad = (-rows) % n_dev
+            if pad:
+                tokens = np.concatenate(
+                    [tokens, np.zeros((pad,) + tokens.shape[1:],
+                                      tokens.dtype)], axis=0)
+            tokens = jax.device_put(tokens, data_sharding)
+        emb = encode_text_fn(jnp.asarray(tokens))[:rows]     # (C*T, D) normalized
         emb = emb.reshape(len(chunk), len(templates), -1).mean(axis=1)
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         weights.append(emb)

@@ -5,6 +5,6 @@ from cream_tpu.zoo.import_torch import (
     convert_cream_childnet, convert_clip_pruned, normalize_clip_layout,
     load_torch_state_dict)
 from cream_tpu.zoo.load import (convert_for_model, load_model_variables,
-                                load_pruned_clip, shape_template)
+                                load_pruned_clip, load_cdarts_retrain, shape_template)
 from cream_tpu.zoo.interpolate import (bicubic_resize_2d, remap_resolution,
                                        remap_leaf)

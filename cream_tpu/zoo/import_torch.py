@@ -643,3 +643,93 @@ def convert_clip_pruned(sd: Mapping[str, np.ndarray], vision_layers: int,
         embed_dim=int(sd["visual.proj"].shape[1]),
     )
     return ragged, b.variables()
+
+
+def convert_cdarts_retrain(sd: Mapping[str, np.ndarray], genotypes,
+                           model_type: str = "imagenet",
+                           res_stem: bool = False,
+                           with_head: bool = True) -> dict:
+    """CDARTS released retrain checkpoint -> flax variables
+    (models/darts.py CDARTSRetrain naming).
+
+    Reference layout: lib/models/model_test.py ModelTest — Sequential stems
+    under feature_extractor.{j}.{idx}, cells under nas_layers.{L}.{i} with
+    ops.py child names (StdConv net.{1,2}, FactorizedReduce conv1/conv2/bn,
+    SepConv net.{0,1}.net.{1,2,3}, DilConv net.{1,2,3}), classifier fc.
+    `genotypes`: per-layer Genotype list (models/darts.py genotype_from_str
+    of the cell_file entries).
+    """
+    from cream_tpu.models.darts import cdarts_retrain_plan
+
+    b = _TreeBuilder()
+
+    def conv_bn_seq(tp: str, ci: int, bi: int, fp: str):
+        b._set(b.params, f"{fp}/conv/kernel", _conv(sd[f"{tp}.{ci}.weight"]))
+        b.bn(sd, f"{tp}.{bi}", f"{fp}/bn")
+
+    def std_conv(tp: str, fp: str):
+        conv_bn_seq(f"{tp}.net", 1, 2, f"{fp}/conv_bn")
+
+    def fac_reduce(tp: str, fp: str):
+        b.raw(_conv(sd[f"{tp}.conv1.weight"]), f"{fp}/conv1/kernel")
+        b.raw(_conv(sd[f"{tp}.conv2.weight"]), f"{fp}/conv2/kernel")
+        b.bn(sd, f"{tp}.bn", f"{fp}/bn")
+
+    def op_params(op_name: str, stride: int, tp: str, fp: str):
+        # non-Identity ops are wrapped in Sequential(op, DropPath_)
+        # (genotypes.py to_dag:24-28) -> extra '.0' in their keys
+        tp = f"{tp}.0"
+        if op_name.startswith("sep_conv"):
+            for j in range(2):
+                b.raw(_conv(sd[f"{tp}.net.{j}.net.1.weight"]), f"{fp}/dw{j}/kernel")
+                b.raw(_conv(sd[f"{tp}.net.{j}.net.2.weight"]), f"{fp}/pw{j}/kernel")
+                b.bn(sd, f"{tp}.net.{j}.net.3", f"{fp}/bn{j}")
+        elif op_name.startswith("dil_conv"):
+            b.raw(_conv(sd[f"{tp}.net.1.weight"]), f"{fp}/dw/kernel")
+            b.raw(_conv(sd[f"{tp}.net.2.weight"]), f"{fp}/pw/kernel")
+            b.bn(sd, f"{tp}.net.3", f"{fp}/bn")
+        elif op_name == "skip_connect" and stride != 1:
+            fac_reduce(tp, fp)
+        elif op_name == "conv_7x1_1x7":
+            b.raw(_conv(sd[f"{tp}.net.1.weight"]), f"{fp}/conv_a/kernel")
+            b.raw(_conv(sd[f"{tp}.net.2.weight"]), f"{fp}/conv_b/kernel")
+            b.bn(sd, f"{tp}.net.3", f"{fp}/bn")
+        # pools / identity / none: no params
+
+    # stems
+    if model_type == "cifar":
+        conv_bn_seq("feature_extractor.0", 0, 1, "stem")
+    elif res_stem:
+        conv_bn_seq("feature_extractor.0", 0, 1, "stem")
+    else:
+        conv_bn_seq("feature_extractor.0", 0, 1, "stem0_a")
+        conv_bn_seq("feature_extractor.0", 3, 4, "stem0_b")
+        conv_bn_seq("feature_extractor.1", 1, 2, "stem1")
+
+    reductions, cell_nums, reduction_p = cdarts_retrain_plan(model_type,
+                                                             res_stem)
+    for li, genotype in enumerate(genotypes):
+        reduction_cur, cell_num = reductions[li], cell_nums[li]
+        reduction_idx = 0 if res_stem else cell_num - 1
+        for i in range(cell_num):
+            reduction = (i == reduction_idx) and reduction_cur
+            tp = f"nas_layers.{li}.{i}"
+            fp = f"cell_{li}_{i}"
+            if reduction_p:
+                fac_reduce(f"{tp}.preproc0", f"{fp}/preproc0")
+            else:
+                std_conv(f"{tp}.preproc0", f"{fp}/preproc0")
+            std_conv(f"{tp}.preproc1", f"{fp}/preproc1")
+            gene = genotype.reduce if reduction else genotype.normal
+            for n, edges in enumerate(gene):
+                for e, (op_name, s_idx) in enumerate(edges):
+                    stride = 2 if reduction and s_idx < 2 else 1
+                    op_params(op_name, stride, f"{tp}.dag.{n}.{e}",
+                              f"{fp}/dag_{n}_{e}")
+            reduction_p = reduction
+        if res_stem:
+            reduction_p = False
+
+    if with_head:
+        b.dense(sd, "fc", "fc")
+    return b.variables()

@@ -114,6 +114,32 @@ def load_pruned_clip(name: str, ckpt, quick_gelu: bool = False,
     return model, variables
 
 
+def load_cdarts_retrain(ckpt, cells_json: str, model_type: str = "imagenet",
+                        res_stem: bool = False, init_channels: int = 48,
+                        num_classes: int = 1000) -> tuple:
+    """CDARTS released retrain checkpoint + cells/*.json genotype file ->
+    (CDARTSRetrain model, variables) — the CDARTS/CDARTS/test.py:72-86 path.
+    `ckpt` is a .pth path or {key: array} dict; `cells_json` a path to the
+    genotype JSON (or an already-parsed dict of genotype strings)."""
+    import json
+
+    from cream_tpu.models import create_model
+
+    cells = cells_json if isinstance(cells_json, dict) else \
+        json.loads(open(cells_json).read())
+    name = ("cdarts_retrain_imagenet" if model_type == "imagenet"
+            else "cdarts_retrain_cifar")
+    model = create_model(name, genotypes=cells, num_classes=num_classes,
+                         init_channels=init_channels,
+                         **({"res_stem": res_stem}
+                            if model_type == "imagenet" else {}))
+    sd = ckpt if isinstance(ckpt, dict) else it.load_torch_state_dict(ckpt)
+    variables = it.convert_cdarts_retrain(sd, model.genotypes,
+                                          model_type=model_type,
+                                          res_stem=res_stem)
+    return model, variables
+
+
 def shape_template(model, img_size: int, in_chans: int = 3) -> dict:
     """jax.eval_shape of model.init at `img_size` — the remap target."""
     import jax

@@ -83,3 +83,60 @@ class TestSupernetTrainFeatures:
             ["--space", "tiny", "train.epochs=2", "distill.kind=none"]
             + common)
         assert "auto-resumed" in capsys.readouterr().out
+
+
+class TestBatchedCandidateEval:
+    def test_vmap_batch_eval_matches_serial(self):
+        """k-candidate vmapped eval == k serial evals (the configs are
+        traced data, so one compiled program scores a stacked batch)."""
+        import jax.tree_util as jtu
+        from cream_tpu.models import create_model
+        from cream_tpu.models.autoformer import (SPACES, encode_config,
+                                                 sample_config)
+        space = SPACES["tiny"]
+        model = create_model("autoformer_supernet_tiny", num_classes=7)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 7, (4,)), jnp.int32)
+        c0 = encode_config(sample_config(rng, space), space)
+        variables = jax.jit(model.init)(jax.random.key(0), x, c0)
+
+        configs = [sample_config(rng, space) for _ in range(5)]
+        encs = [encode_config(c, space) for c in configs]
+
+        def acc(enc):
+            logits = model.apply(variables, x, enc)
+            return ((logits.argmax(-1) == y).sum(), y.shape[0])
+
+        serial = [jax.jit(acc)(e)[0] for e in encs]
+        stacked = jtu.tree_map(lambda *xs: jnp.stack(xs), *encs)
+        batched = jax.jit(jax.vmap(acc))(stacked)[0]
+        np.testing.assert_array_equal(np.asarray(batched),
+                                      np.asarray(jnp.stack(serial)))
+
+    def test_searcher_batch_path_matches_serial_path(self):
+        from cream_tpu.nas.evolution import EvolutionSearcher
+
+        def fitness(cfg):
+            return cfg["v"] * 0.1
+
+        def sample(rng):
+            return {"v": int(rng.integers(0, 1000))}
+
+        def mutate(rng, c):
+            return {"v": int((c["v"] + rng.integers(1, 10)) % 1000)}
+
+        def cross(rng, a, b):
+            return {"v": (a["v"] + b["v"]) // 2}
+
+        kw = dict(sample_fn=sample, mutate_fn=mutate, crossover_fn=cross,
+                  population_num=12, select_num=4, mutation_num=6,
+                  crossover_num=6, max_epochs=3, seed=7)
+        serial = EvolutionSearcher(eval_fn=fitness, **kw)
+        batched = EvolutionSearcher(
+            eval_fn=fitness,
+            batch_eval_fn=lambda cfgs: [fitness(c) for c in cfgs], **kw)
+        top_s = serial.search(log=lambda *a: None)
+        top_b = batched.search(log=lambda *a: None)
+        assert [s for s, _ in top_s] == [s for s, _ in top_b]
+        assert [c for _, c in top_s] == [c for _, c in top_b]

@@ -519,3 +519,31 @@ def load_tinyclip_module():
     tm.TimmModel = type("TimmModel", (), {})
     sys.modules["refoc.timm_model"] = tm
     return importlib.import_module("refoc.model")
+
+
+def load_cdarts_model_test():
+    """Import the reference CDARTS retrain stack live (model_test.py +
+    augment_cells.py + ops.py + genotypes.py, all real reference code)."""
+    if "lib.models.model_test" in sys.modules:
+        return sys.modules["lib.models.model_test"]
+    croot = f"{REFERENCE}/CDARTS/lib"
+    for name in ("lib", "lib.utils", "lib.models"):
+        if name not in sys.modules:
+            pkg = types.ModuleType(name)
+            pkg.__path__ = []
+            sys.modules[name] = pkg
+
+    def _load(relpath, modname):
+        spec = importlib.util.spec_from_file_location(
+            modname, f"{croot}/{relpath}")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[modname] = mod
+        parent, _, leaf = modname.rpartition(".")
+        spec.loader.exec_module(mod)
+        setattr(sys.modules[parent], leaf, mod)
+        return mod
+
+    _load("models/ops.py", "lib.models.ops")
+    _load("utils/genotypes.py", "lib.utils.genotypes")
+    _load("models/augment_cells.py", "lib.models.augment_cells")
+    return _load("models/model_test.py", "lib.models.model_test")
