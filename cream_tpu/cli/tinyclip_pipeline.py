@@ -137,11 +137,45 @@ def run_stage(model, variables, cfg, target_sparsity, batches, args,
         return optax.apply_updates(tr, upd), opt, loss, sv
 
     rng = jax.random.key(args.seed + stage_idx)
-    for i in range(args.steps):
+
+    # mid-stage checkpoint/resume (the reference resumes INSIDE an epoch via
+    # saved iter_in_epoch, TinyCLIP/src/training/main.py:400 + in-epoch
+    # periodic saves train.py:155-156): (trainable, opt, rng, step) round-
+    # trips through one npz; a killed run restarts on the next unseen step
+    # and reproduces the unbroken run bit-for-bit.
+    ckpt = (os.path.join(args.out, f"mid_stage_{stage_idx}.npz")
+            if getattr(args, "save_every", 0) else None)
+    start = 0
+    flat0, treedef = jax.tree_util.tree_flatten((trainable, opt))
+    if ckpt and os.path.exists(ckpt):
+        data = np.load(ckpt, allow_pickle=False)
+        leaves = [jnp.asarray(data[f"leaf_{j}"]) for j in range(len(flat0))]
+        trainable, opt = jax.tree_util.tree_unflatten(treedef, leaves)
+        rng = jax.random.wrap_key_data(jnp.asarray(data["rng"]))
+        start = int(data["step"])
+        print(f"  stage {stage_idx}: resumed mid-stage at step {start}",
+              flush=True)
+
+    def save_mid(step):
+        flat, _ = jax.tree_util.tree_flatten((trainable, opt))
+        np.savez(ckpt, step=step,
+                 rng=np.asarray(jax.random.key_data(rng)),
+                 **{f"leaf_{j}": np.asarray(l) for j, l in enumerate(flat)})
+
+    loss = sv = jnp.nan
+    for i in range(start, args.steps):
         img, txt = batches[i % len(batches)]
         rng, sub = jax.random.split(rng)
         trainable, opt, loss, sv = step_fn(trainable, opt, img, txt, sub,
                                            jnp.asarray(i))
+        if ckpt and (i + 1) % args.save_every == 0:
+            save_mid(i + 1)
+        if getattr(args, "stop_after", 0) and (i + 1) >= args.stop_after:
+            print(f"  stage {stage_idx}: --stop-after {args.stop_after} "
+                  "(simulated kill)", flush=True)
+            return None
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)
     print(f"  stage {stage_idx}: final loss {float(loss):.3f} "
           f"vision sparsity {float(sv):.3f}", flush=True)
 
@@ -208,6 +242,12 @@ def main(argv=None):
                     action="store_false")
     ap.add_argument("--manual-inherit", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="mid-stage checkpoint every N steps (0 = off); a "
+                         "restarted run auto-resumes from the latest")
+    ap.add_argument("--stop-after", type=int, default=0,
+                    help="exit after N steps of the current stage "
+                         "(kill-simulation hook for resume testing)")
     ap.add_argument("--out", default="tinyclip_stages")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -235,8 +275,10 @@ def main(argv=None):
             model, variables, cfg = run_stage_manual(model, variables, cfg,
                                                      sp, args)
         else:
-            model, variables, cfg = run_stage(model, variables, cfg, sp,
-                                              batches, args, si)
+            out = run_stage(model, variables, cfg, sp, batches, args, si)
+            if out is None:          # simulated kill (--stop-after)
+                return None
+            model, variables, cfg = out
         report.append({"stage": si, "target_sparsity": sp,
                        "params": n_params(variables["params"]),
                        "vision_width": cfg.vision_width,

@@ -372,12 +372,90 @@ def auto_augment_transform(config_str: str,
     raise ValueError(f"unknown AutoAugment policy {name!r}")
 
 
+# -------------------------------------------------------------------- AugMix
+
+_AUGMIX_TRANSFORMS = [
+    "AutoContrast", "ColorIncreasing", "ContrastIncreasing",
+    "BrightnessIncreasing", "SharpnessIncreasing", "Equalize", "Rotate",
+    "PosterizeIncreasing", "SolarizeIncreasing", "ShearX", "ShearY",
+    "TranslateXRel", "TranslateYRel",
+]
+
+
+class AugMix:
+    """AugMix (arXiv:1912.02781) with the vendored stack's semantics
+    (TinyViT/data/augmentation/auto_augment.py:738-800 AugMixAugment,
+    '_apply_basic' literal path): `width` parallel chains of 1..3 (or fixed
+    `depth`) ops, Dirichlet(alpha)-weighted pixel mix, then a Beta(alpha,
+    alpha) blend with the original. All randomness flows through the
+    per-sample Generator, so saved-teacher-logit replays reproduce pixels
+    exactly (the seeded-aug contract)."""
+
+    def __init__(self, ops: Sequence[AugmentOp], alpha: float = 1.0,
+                 width: int = 3, depth: int = -1):
+        self.ops = list(ops)
+        self.alpha = alpha
+        self.width = width
+        self.depth = depth
+
+    def __call__(self, img: Image.Image, rng: np.random.Generator):
+        mixing_weights = np.float32(rng.dirichlet([self.alpha] * self.width))
+        m = np.float32(rng.beta(self.alpha, self.alpha))
+        # (H, W, C) — the reference uses img.size[0], img.size[1] (W, H,
+        # auto_augment.py:790), which only works because AugMix runs after a
+        # square RandomResizedCrop; row-major order is the correct one
+        mixed = np.zeros((img.size[1], img.size[0], len(img.getbands())),
+                         dtype=np.float32)
+        for mw in mixing_weights:
+            depth = self.depth if self.depth > 0 else int(rng.integers(1, 4))
+            picks = rng.choice(len(self.ops), depth, replace=True)
+            img_aug = img
+            for i in picks:
+                img_aug = self.ops[int(i)](img_aug, rng)
+            mixed += mw * np.asarray(img_aug, dtype=np.float32)
+        np.clip(mixed, 0, 255.0, out=mixed)
+        mixed = Image.fromarray(mixed.astype(np.uint8))
+        return Image.blend(img, mixed, m)
+
+
+def augment_and_mix_transform(config_str: str,
+                              hparams: dict | None = None) -> AugMix:
+    """Parse 'augmix-m5-w4-d2'-style strings (timm grammar: m/w/d/a/mstd)."""
+    hparams = dict(hparams or {})
+    magnitude, width, depth, alpha = 3, 3, -1, 1.0
+    config = config_str.split("-")
+    assert config[0] == "augmix", config_str
+    for c in config[1:]:
+        cs = re.split(r"(\d.*)", c)
+        if len(cs) < 2:
+            continue
+        key, val = cs[:2]
+        if key == "mstd":
+            hparams.setdefault("magnitude_std", float(val))
+        elif key == "m":
+            magnitude = int(val)
+        elif key == "w":
+            width = int(val)
+        elif key == "d":
+            depth = int(val)
+        elif key == "a":
+            alpha = float(val)
+        else:
+            raise ValueError(f"unknown AugMix section {key!r}")
+    hparams.setdefault("magnitude_std", float("inf"))
+    ops = [AugmentOp(n, prob=1.0, magnitude=magnitude, hparams=hparams)
+           for n in _AUGMIX_TRANSFORMS]
+    return AugMix(ops, alpha=alpha, width=width, depth=depth)
+
+
 def create_augmenter(config_str: str, hparams: dict | None = None):
     """Dispatch on the config string prefix like timm's transforms factory."""
     if not config_str:
         return None
     if config_str.startswith("rand"):
         return rand_augment_transform(config_str, hparams)
+    if config_str.startswith("augmix"):
+        return augment_and_mix_transform(config_str, hparams)
     return auto_augment_transform(config_str, hparams)
 
 

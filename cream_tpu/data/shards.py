@@ -48,18 +48,33 @@ class ShardListDataset:
         self.shards = sorted(shards)
         self.seed = seed
 
-    def epoch_iter(self, epoch: int) -> Iterator[tuple[str, bytes, bytes]]:
+    def epoch_iter(self, epoch: int, start_sample: int = 0
+                   ) -> Iterator[tuple[str, bytes, bytes]]:
+        """The shuffle is a pure function of (seed, epoch) — detshuffle2
+        semantics (TinyCLIP/src/training/data.py:35) — so `start_sample`
+        fast-forwards deterministically into the epoch: mid-epoch resume
+        replays the identical stream from sample N on."""
         order = np.arange(len(self.shards))
         np.random.default_rng(self.seed + epoch).shuffle(order)  # detshuffle2
+        skipped = 0
         for si in order:
-            yield from iter_tar_pairs(self.shards[si])
+            for pair in iter_tar_pairs(self.shards[si]):
+                if skipped < start_sample:
+                    skipped += 1
+                    continue
+                yield pair
 
 
 def image_text_loader(dataset: ShardListDataset, tokenizer, epoch: int,
                       batch_size: int, img_size: int = 224,
-                      context_length: int = 77, num_workers: int = 8
-                      ) -> Iterator[dict]:
-    """Batches of {image (B,H,W,3) CLIP-normalized, text (B,L) tokens}."""
+                      context_length: int = 77, num_workers: int = 8,
+                      start_batch: int = 0) -> Iterator[dict]:
+    """Batches of {image (B,H,W,3) CLIP-normalized, text (B,L) tokens}.
+
+    `start_batch` resumes mid-epoch: the first start_batch*batch_size
+    samples of the deterministic epoch stream are skipped, so a checkpoint
+    carrying iter_in_epoch restarts on exactly the next unseen batch
+    (TinyCLIP/src/training/main.py:400 iter_in_epoch resume)."""
     cfg = eval_preprocess_config(img_size, crop=True, clip=True)
 
     def decode(pair):
@@ -69,7 +84,8 @@ def image_text_loader(dataset: ShardListDataset, tokenizer, epoch: int,
 
     buf: list = []
     with ThreadPoolExecutor(num_workers) as pool:
-        for pair in dataset.epoch_iter(epoch):
+        for pair in dataset.epoch_iter(epoch,
+                                       start_sample=start_batch * batch_size):
             buf.append(pair)
             if len(buf) == batch_size:
                 decoded = list(pool.map(decode, buf))

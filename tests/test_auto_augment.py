@@ -112,12 +112,22 @@ class TestConfigParsing:
     def test_dispatch(self):
         assert isinstance(aa.create_augmenter("rand-m9"), aa.RandAugment)
         assert isinstance(aa.create_augmenter("v0"), aa.AutoAugment)
+        assert isinstance(aa.create_augmenter("augmix-m5-w4-d2"), aa.AugMix)
         assert aa.create_augmenter("") is None
+
+    def test_augmix_config(self):
+        t = aa.create_augmenter("augmix-m5-w4-d2-a0.7")
+        assert t.width == 4 and t.depth == 2 and t.alpha == 0.7
+        assert all(op.magnitude == 5 and op.prob == 1.0 for op in t.ops)
+        # AugMix defaults to uniform magnitude sampling (timm
+        # augment_and_mix_transform sets magnitude_std=inf)
+        assert all(op.magnitude_std == float("inf") for op in t.ops)
+        assert [op.name for op in t.ops] == aa._AUGMIX_TRANSFORMS
 
 
 class TestDeterminism:
     @pytest.mark.parametrize("config", ["rand-m9-mstd0.5-inc1", "v0",
-                                        "original"])
+                                        "original", "augmix-m3"])
     def test_same_seed_same_pixels(self, config):
         t = aa.create_augmenter(config)
         img = _img()
