@@ -215,3 +215,132 @@ def deform_conv2d(x: jnp.ndarray, offset: jnp.ndarray, weight: jnp.ndarray,
     wmat = weight.reshape(K, C, O)
     return jnp.einsum("bhwkc,kco->bhwo", cols, wmat,
                       preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def soft_nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float,
+             method: str = "linear", sigma: float = 0.5,
+             min_score: float = 1e-3, max_out: int | None = None
+             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS (mmdet/ops/nms/src/soft_nms_cpu.pyx:22-128), jit-compiled.
+
+    The pyx walks the array selecting the max-score box, decaying every
+    remaining box's score by a function of its IoU with the selection
+    (linear 1-iou above the threshold / gaussian exp(-iou^2/sigma) / hard
+    0), and drops boxes whose decayed score falls under `min_score`. The
+    TPU form is a fixed-trip lax.fori_loop over a validity mask — same
+    selection order and identical decayed scores, static shapes throughout
+    (dropped/exhausted slots return index -1).
+
+    Returns (order, new_scores, count): `order[:count]` are input indices in
+    selection order with `new_scores[:count]` their decayed scores — the
+    pyx's (boxes[:N, 4], inds[:N]) in fixed-size form. Uses the legacy +1
+    box convention like the kernel.
+    """
+    n = boxes.shape[0]
+    steps = n if max_out is None else min(max_out, n)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+
+    def body(i, carry):
+        cur_scores, valid, order, out_scores = carry
+        masked = jnp.where(valid, cur_scores, -jnp.inf)
+        sel = jnp.argmax(masked)
+        any_valid = jnp.any(valid)
+        order = order.at[i].set(jnp.where(any_valid, sel, -1))
+        out_scores = out_scores.at[i].set(
+            jnp.where(any_valid, cur_scores[sel], 0.0))
+        valid = valid.at[sel].set(False)
+        iw = jnp.minimum(x2[sel], x2) - jnp.maximum(x1[sel], x1) + 1
+        ih = jnp.minimum(y2[sel], y2) - jnp.maximum(y1[sel], y1) + 1
+        inter = jnp.maximum(iw, 0) * jnp.maximum(ih, 0)
+        ov = inter / (areas[sel] + areas - inter)
+        ov = jnp.where((iw > 0) & (ih > 0), ov, 0.0)
+        if method == "linear":
+            w = jnp.where(ov > iou_threshold, 1.0 - ov, 1.0)
+        elif method == "gaussian":
+            w = jnp.exp(-(ov * ov) / sigma)
+        else:                                              # hard nms
+            w = jnp.where(ov > iou_threshold, 0.0, 1.0)
+        w = jnp.where(any_valid & valid, w, 1.0)
+        cur_scores = cur_scores * w
+        valid = valid & (cur_scores >= min_score)
+        return cur_scores, valid, order, out_scores
+
+    init = (scores.astype(jnp.float32), jnp.ones(n, bool),
+            jnp.full(steps, -1, jnp.int32), jnp.zeros(steps, jnp.float32))
+    _, _, order, out_scores = jax.lax.fori_loop(0, steps, body, init)
+    count = jnp.sum(order >= 0)
+    return order, out_scores, count
+
+
+def roi_pool(features: jnp.ndarray, rois: jnp.ndarray, out_size: tuple,
+             spatial_scale: float = 1.0) -> jnp.ndarray:
+    """RoI max-pool (mmdet/ops/roi_pool/src/roi_pool_kernel.cu:17-79), NHWC.
+
+    Static-binned: each output bin's integer bounds (floor/ceil of the
+    fractional bin edges, clipped to the map) become a boolean row/column
+    mask and the bin value is the max over the masked region — the
+    data-dependent integer loops of the kernel turn into two outer-product
+    masks and one masked reduce per bin, all static shapes. Empty bins are
+    0, malformed rois (w/h <= 0) yield 0, matching the kernel's guards.
+
+    features (B, H, W, C); rois (R, 5) = (batch_idx, x1, y1, x2, y2) in
+    image coords; returns (R, ph, pw, C).
+    """
+    B, H, W, C = features.shape
+    ph, pw = out_size
+
+    def one_roi(roi):
+        b = roi[0].astype(jnp.int32)
+        roi_x1 = roi[1] * spatial_scale
+        roi_y1 = roi[2] * spatial_scale
+        roi_x2 = (roi[3] + 1) * spatial_scale
+        roi_y2 = (roi[4] + 1) * spatial_scale
+        roi_w = roi_x2 - roi_x1
+        roi_h = roi_y2 - roi_y1
+        ok = (roi_w > 0) & (roi_h > 0)
+        bw = roi_w / pw
+        bh = roi_h / ph
+        py = jnp.arange(ph, dtype=jnp.float32)
+        px = jnp.arange(pw, dtype=jnp.float32)
+        y1b = jnp.clip(jnp.floor(py * bh + roi_y1), 0, H).astype(jnp.int32)
+        y2b = jnp.clip(jnp.ceil((py + 1) * bh + roi_y1), 0, H).astype(jnp.int32)
+        x1b = jnp.clip(jnp.floor(px * bw + roi_x1), 0, W).astype(jnp.int32)
+        x2b = jnp.clip(jnp.ceil((px + 1) * bw + roi_x1), 0, W).astype(jnp.int32)
+        rows = jnp.arange(H)
+        cols = jnp.arange(W)
+        ymask = (rows[None, :] >= y1b[:, None]) & (rows[None, :] < y2b[:, None])
+        xmask = (cols[None, :] >= x1b[:, None]) & (cols[None, :] < x2b[:, None])
+        m = ymask[:, None, :, None] & xmask[None, :, None, :]  # (ph,pw,H,W)
+        img = features[b]                                      # (H, W, C)
+        vals = jnp.where(m[..., None], img[None, None], -jnp.inf)
+        out = vals.max(axis=(2, 3))                            # (ph, pw, C)
+        out = jnp.where(jnp.isfinite(out), out, 0.0)           # empty bin -> 0
+        return jnp.where(ok, out, 0.0)
+
+    return jax.vmap(one_roi)(rois.astype(jnp.float32)).astype(features.dtype)
+
+
+def masked_conv2d(x: jnp.ndarray, mask: jnp.ndarray, weight: jnp.ndarray,
+                  bias: jnp.ndarray, padding: int = 1) -> jnp.ndarray:
+    """Masked conv (mmdet/ops/masked_conv/): conv computed only at mask>0
+    positions, zeros (not bias) elsewhere, stride 1.
+
+    The CUDA op gathers masked pixels with im2col, GEMMs, and scatters back
+    (functions/masked_conv.py:11-50). On TPU the dense form wins — sparse
+    gathers forfeit MXU density — and `where(mask, conv + bias, 0)` is
+    exactly the op's semantics: positions outside the mask were never
+    written, so they hold the output tensor's zero-init.
+
+    x (B, H, W, C) NHWC; mask (B, H, W) or (1, H, W); weight HWIO; square
+    kernels only (the reference computes out_w with kernel_h —
+    masked_conv.py:30-33 — so it is square-only de facto).
+    """
+    kh, kw = weight.shape[:2]
+    assert kh == kw, "reference masked_conv2d is square-kernel only"
+    out = jax.lax.conv_general_dilated(
+        x, weight, window_strides=(1, 1),
+        padding=[(padding, padding)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = out + bias.reshape(1, 1, 1, -1)
+    return jnp.where((mask > 0)[..., None], out, 0.0).astype(x.dtype)

@@ -259,3 +259,149 @@ class TestDeformConv:
         g = jax.grad(lambda o: deform_conv2d(x, o, w).sum())(offset)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+def np_soft_nms(boxes_scores, iou_thr, method=1, sigma=0.5, min_score=1e-3):
+    """Straight-line port of soft_nms_cpu.pyx:22-128."""
+    boxes = boxes_scores.copy().astype(np.float32)
+    N = boxes.shape[0]
+    inds = np.arange(N)
+    # the pyx 'for i in range(N)' is a C loop re-checking the SHRINKING N
+    i = -1
+    while i + 1 < N:
+        i += 1
+        maxpos = i + int(np.argmax(boxes[i:N, 4]))
+        boxes[[i, maxpos]] = boxes[[maxpos, i]]
+        inds[[i, maxpos]] = inds[[maxpos, i]]
+        tx1, ty1, tx2, ty2 = boxes[i, :4]
+        pos = i + 1
+        while pos < N:
+            x1, y1, x2, y2, s = boxes[pos]
+            area = (x2 - x1 + 1) * (y2 - y1 + 1)
+            iw = min(tx2, x2) - max(tx1, x1) + 1
+            if iw > 0:
+                ih = min(ty2, y2) - max(ty1, y1) + 1
+                if ih > 0:
+                    ua = (tx2 - tx1 + 1) * (ty2 - ty1 + 1) + area - iw * ih
+                    ov = iw * ih / ua
+                    if method == 1:
+                        weight = 1 - ov if ov > iou_thr else 1
+                    elif method == 2:
+                        weight = np.exp(-(ov * ov) / sigma)
+                    else:
+                        weight = 0 if ov > iou_thr else 1
+                    boxes[pos, 4] = weight * boxes[pos, 4]
+                    if boxes[pos, 4] < min_score:
+                        boxes[pos] = boxes[N - 1]
+                        inds[pos] = inds[N - 1]
+                        N -= 1
+                        pos -= 1
+            pos += 1
+    return boxes[:N], inds[:N]
+
+
+class TestSoftNMS:
+    @pytest.mark.parametrize("method,mid", [("linear", 1), ("gaussian", 2),
+                                            ("hard", 3)])
+    def test_matches_pyx_oracle(self, method, mid):
+        from cream_tpu.ops.detection import soft_nms
+        rng = np.random.RandomState(0)
+        n = 40
+        ctr = rng.uniform(10, 90, (n, 2))
+        wh = rng.uniform(5, 40, (n, 2))
+        boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+        scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+        ref_boxes, ref_inds = np_soft_nms(
+            np.concatenate([boxes, scores[:, None]], 1), 0.3, method=mid)
+        order, new_scores, count = jax.jit(
+            lambda b, s: soft_nms(b, s, 0.3, method=method))(
+            jnp.asarray(boxes), jnp.asarray(scores))
+        count = int(count)
+        assert count == len(ref_inds)
+        # the pyx's swap-delete reorders survivors it has not yet selected;
+        # selection ORDER and per-box decayed scores must match exactly
+        got = {int(i): float(s) for i, s in
+               zip(np.asarray(order[:count]), np.asarray(new_scores[:count]))}
+        want = {int(i): float(b[4]) for b, i in zip(ref_boxes, ref_inds)}
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=1e-5, rtol=1e-5)
+
+
+def np_roi_pool(features_nchw, rois, out_size, scale):
+    """Straight-line port of roi_pool_kernel.cu:17-79."""
+    B, C, H, W = features_nchw.shape
+    ph, pw = out_size
+    R = rois.shape[0]
+    out = np.zeros((R, C, ph, pw), np.float32)
+    for n in range(R):
+        # all arithmetic in float32 like the scalar_t=float CUDA kernel
+        f32 = np.float32
+        b = int(rois[n, 0])
+        rx1 = f32(rois[n, 1] * f32(scale))
+        ry1 = f32(rois[n, 2] * f32(scale))
+        rx2 = f32((rois[n, 3] + 1) * f32(scale))
+        ry2 = f32((rois[n, 4] + 1) * f32(scale))
+        rw, rh = f32(rx2 - rx1), f32(ry2 - ry1)
+        if rw <= 0 or rh <= 0:
+            continue
+        bw, bh = f32(rw / pw), f32(rh / ph)
+        for c in range(C):
+            for py in range(ph):
+                for px in range(pw):
+                    y1b = min(max(int(np.floor(f32(py * bh + ry1))), 0), H)
+                    y2b = min(max(int(np.ceil(f32(f32((py + 1) * bh) + ry1))), 0), H)
+                    x1b = min(max(int(np.floor(f32(px * bw + rx1))), 0), W)
+                    x2b = min(max(int(np.ceil(f32(f32((px + 1) * bw) + rx1))), 0), W)
+                    region = features_nchw[b, c, y1b:y2b, x1b:x2b]
+                    out[n, c, py, px] = region.max() if region.size else 0.0
+    return out
+
+
+class TestRoIPool:
+    def test_matches_kernel_oracle(self):
+        from cream_tpu.ops.detection import roi_pool
+        rng = np.random.RandomState(1)
+        x = rng.randn(2, 24, 32, 8).astype(np.float32)
+        # geometry avoids exact-integer bin edges: XLA's allow-excess-
+        # precision may evaluate f32 chains wider, so a bin edge landing
+        # EXACTLY on an integer can ceil differently than strict fp32 — a
+        # one-row boundary artifact, not a semantics difference
+        rois = np.array([[0, 2.3, 3.1, 20.0, 18.5],
+                         [1, 0.0, 0.0, 30.0, 22.0],
+                         [0, 10.2, 5.5, 12.9, 8.1],
+                         [1, 25.0, 20.0, 24.0, 19.0]],   # malformed -> 0
+                        np.float32)
+        got = jax.jit(lambda f, r: roi_pool(f, r, (7, 7), 0.5))(
+            jnp.asarray(x), jnp.asarray(rois))
+        want = np_roi_pool(x.transpose(0, 3, 1, 2), rois, (7, 7), 0.5)
+        np.testing.assert_allclose(np.asarray(got),
+                                   want.transpose(0, 2, 3, 1),
+                                   atol=1e-6)
+
+
+class TestMaskedConv:
+    def test_matches_gather_scatter_semantics(self):
+        """Oracle = the functions/masked_conv.py:11-50 path: im2col at
+        masked positions, GEMM + bias, scatter into a zero tensor."""
+        from cream_tpu.ops.detection import masked_conv2d
+        rng = np.random.RandomState(2)
+        H = W = 10
+        Cin, Cout, k, pad = 4, 6, 3, 1
+        x = rng.randn(1, Cin, H, W).astype(np.float32)
+        wgt = rng.randn(Cout, Cin, k, k).astype(np.float32)
+        bias = rng.randn(Cout).astype(np.float32)
+        mask = (rng.rand(1, H, W) > 0.6).astype(np.float32)
+
+        out = np.zeros((1, Cout, H, W), np.float32)
+        idx = np.nonzero(mask[0] > 0)
+        xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        for h, w in zip(*idx):
+            col = xp[0, :, h:h + k, w:w + k].reshape(-1)
+            out[0, :, h, w] = wgt.reshape(Cout, -1) @ col + bias
+
+        got = jax.jit(lambda a, m, wt, b: masked_conv2d(a, m, wt, b, pad))(
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(mask),
+            jnp.asarray(wgt.transpose(2, 3, 1, 0)), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got),
+                                   out.transpose(0, 2, 3, 1), atol=1e-4)
