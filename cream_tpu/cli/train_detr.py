@@ -12,6 +12,16 @@ Smoke recipe (synthetic boxes, tiny model, CPU, ~2 min):
     python -m cream_tpu.cli.train_detr --cpu --synthetic --steps 6 \
         --batch-size 4 --image-size 128 --num-classes 8 \
         --enc-rpe2d rpe-1.9-product-ctx-1-k --out /tmp/detr_smoke.json
+
+COCO mode (datasets/coco.py + engine.py:68 evaluate + coco_eval.py roles):
+point --coco-img-dir/--coco-ann at a COCO-format directory; training runs on
+static-canvas batches (data/coco.py) and finishes with a native-AP COCO eval
+(train/coco_eval.py — the pycocotools bbox protocol, dependency-free). Add
+--eval-only for evaluation without training:
+
+    python -m cream_tpu.cli.train_detr --coco-img-dir val2017 \
+        --coco-ann annotations/instances_val2017.json --num-classes 91 \
+        --num-queries 100 --eval-only
 """
 from __future__ import annotations
 
@@ -54,6 +64,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--coco-img-dir", default=None,
+                    help="COCO images dir (e.g. val2017/)")
+    ap.add_argument("--coco-ann", default=None,
+                    help="COCO instances_*.json annotations")
+    ap.add_argument("--canvas", type=int, default=512,
+                    help="fixed square canvas (static shapes); images are "
+                         "aspect-resized then zero-padded with a pixel mask")
+    ap.add_argument("--resize", type=int, default=480)
+    ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--image-size", type=int, default=128)
@@ -82,12 +102,31 @@ def main(argv=None):
                  num_decoder_layers=args.dec_layers,
                  dim_feedforward=args.hidden_dim * 4, aux_loss=args.aux_loss,
                  rpe_config=parse_enc_rpe2d(args.enc_rpe2d))
-    batches = synthetic_batches(args.batch_size, args.image_size,
-                                args.max_boxes, args.num_classes,
-                                max(2, args.steps // 2), args.seed)
+    coco = None
+    if args.coco_img_dir and args.coco_ann:
+        from cream_tpu.data.coco import CocoDetection, detection_loader
+        coco = CocoDetection(args.coco_img_dir, args.coco_ann)
+
+        def coco_batches(train, epoch=0):
+            for b in detection_loader(
+                    coco, args.batch_size, canvas=(args.canvas, args.canvas),
+                    size=args.resize, max_size=args.canvas,
+                    max_boxes=args.max_boxes, train=train, seed=args.seed,
+                    epoch=epoch):
+                yield {k: jnp.asarray(v) if k != "image_id" else v
+                       for k, v in b.items()}
+
+        batches = list(coco_batches(train=not args.eval_only))
+        if not batches:
+            raise SystemExit("COCO dir yielded no full batches; lower "
+                             "--batch-size")
+    else:
+        batches = synthetic_batches(args.batch_size, args.image_size,
+                                    args.max_boxes, args.num_classes,
+                                    max(2, args.steps // 2), args.seed)
     b0 = batches[0]
-    variables = jax.jit(lambda r: model.init(r, b0["image"]))(
-        jax.random.key(args.seed))
+    variables = jax.jit(lambda r: model.init(
+        r, b0["image"], b0.get("pad_mask")))(jax.random.key(args.seed))
     params, constants = variables["params"], variables.get("constants", {})
 
     tx = optax.chain(optax.clip_by_global_norm(args.clip_norm),
@@ -97,7 +136,7 @@ def main(argv=None):
     @jax.jit
     def forward_and_cost(params, batch):
         out = model.apply({"params": params, "constants": constants},
-                          batch["image"])
+                          batch["image"], batch.get("pad_mask"))
         costs = [D.matching_cost(o["pred_logits"], o["pred_boxes"],
                                  batch["boxes"], batch["labels"],
                                  batch["valid"])
@@ -108,7 +147,7 @@ def main(argv=None):
     def update(params, opt, batch, assigns):
         def loss_fn(p):
             out = model.apply({"params": p, "constants": constants},
-                              batch["image"])
+                              batch["image"], batch.get("pad_mask"))
             num_boxes = jnp.maximum(
                 batch["valid"].sum().astype(jnp.float32), 1.0)
             outs = [out] + out.get("aux_outputs", [])
@@ -128,6 +167,46 @@ def main(argv=None):
         upd, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, upd), opt, loss, ml
 
+    def coco_evaluate():
+        """AP over the COCO batches (engine.py:68 evaluate +
+        coco_eval.py, pycocotools-free)."""
+        from cream_tpu.train.coco_eval import evaluate_detections
+        from cream_tpu.train.detection import post_process
+        gts, dts = {}, {}
+        for batch in batches:
+            out = forward_and_cost(params, batch)[0]
+            res = post_process(
+                {"pred_logits": out["pred_logits"],
+                 "pred_boxes": out["pred_boxes"]}, batch["orig_size"])
+            for i, iid in enumerate(np.asarray(batch["image_id"])):
+                iid = int(iid)
+                r = res[i]
+                xyxy = np.asarray(r["boxes"])
+                dts[iid] = {
+                    "boxes": np.concatenate(
+                        [xyxy[:, :2], xyxy[:, 2:] - xyxy[:, :2]], 1),
+                    "labels": np.asarray(r["labels"]),
+                    "scores": np.asarray(r["scores"])}
+                oh, ow = np.asarray(batch["orig_size"])[i]
+                v = np.asarray(batch["valid"])[i]
+                cxcywh = np.asarray(batch["boxes"])[i][v]
+                scale = np.asarray([ow, oh, ow, oh], np.float32)
+                xywh = np.concatenate(
+                    [cxcywh[:, :2] - cxcywh[:, 2:] / 2, cxcywh[:, 2:]],
+                    1) * scale
+                gts[iid] = {"boxes": xywh,
+                            "labels": np.asarray(batch["labels"])[i][v]}
+        metrics = evaluate_detections(gts, dts)
+        print("COCO eval:", {k: round(v, 4) for k, v in metrics.items()},
+              flush=True)
+        return metrics
+
+    if args.eval_only:
+        metrics = coco_evaluate()
+        with open(args.out, "w") as fh:
+            json.dump(metrics, fh, indent=2)
+        return metrics
+
     history = []
     for step in range(args.steps):
         batch = batches[step % len(batches)]
@@ -144,9 +223,13 @@ def main(argv=None):
               f"giou {rec['loss_giou']:.3f}", flush=True)
 
     assert np.isfinite(history[-1]["total"])
+    result = {"history": history}
+    if coco is not None:
+        result["metrics"] = coco_evaluate()
     with open(args.out, "w") as fh:
-        json.dump(history, fh, indent=2)
+        json.dump(result, fh, indent=2)
     print(f"wrote {args.out}; final total {history[-1]['total']:.3f}")
+    return result
 
 
 if __name__ == "__main__":
