@@ -43,13 +43,57 @@ PEAK_FLOPS = {
     "TPU v6e": 918e12,
 }
 
+# HBM bandwidth (bytes/s) per chip kind; fallback 819e9 (v5e)
+HBM_BW = {
+    "TPU v4": 1228e9,
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5p": 2765e9,
+    "TPU v6 lite": 1640e9,
+    "TPU v6e": 1640e9,
+}
 
-def chip_peak_flops() -> float:
+
+def _chip_lookup(table, fallback):
     kind = jax.devices()[0].device_kind
-    for k, v in PEAK_FLOPS.items():
+    for k, v in table.items():
         if k.lower() in kind.lower():
             return v
-    return 197e12
+    return fallback
+
+
+def chip_peak_flops() -> float:
+    return _chip_lookup(PEAK_FLOPS, 197e12)
+
+
+def chip_hbm_bw() -> float:
+    return _chip_lookup(HBM_BW, 819e9)
+
+
+def roofline(flops: float, bytes_accessed: float, ips: float, batch: int
+             ) -> dict | None:
+    """%-of-roofline: the model's own floor is max(MXU time, HBM time) from
+    the compiled HLO cost analysis (flops / chip peak vs bytes accessed /
+    HBM bandwidth) — the BASELINE.json '>=90% of roofline' target measures
+    against THIS, not against raw chip peak (MFU).
+
+    Caveat on the HBM leg: XLA's 'bytes accessed' sums each op's logical
+    operand/result bytes AFTER fusion but still double-counts buffers that
+    several consumers read while resident, so t_hbm overestimates true HBM
+    traffic and pct_of_roofline can exceed 1.0 on bandwidth-light models
+    (observed on EfficientViT M0/M5). Read it as a conservative lower bound
+    on headroom; the mxu leg is exact. Both legs ship for attribution."""
+    if not flops or not ips:
+        return None
+    t_mxu = flops / chip_peak_flops()
+    t_hbm = (bytes_accessed or 0.0) / chip_hbm_bw()
+    floor = max(t_mxu, t_hbm)
+    actual = batch / ips
+    return {"floor_ms": round(floor * 1e3, 3),
+            "t_mxu_ms": round(t_mxu * 1e3, 3),
+            "t_hbm_est_ms": round(t_hbm * 1e3, 3),
+            "bound": "mxu" if t_mxu >= t_hbm else "hbm",
+            "pct_of_roofline": round(floor / actual, 4)}
 
 
 def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
@@ -80,7 +124,7 @@ def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
             return carry
         return run
 
-    # FLOPs per single forward call from XLA cost analysis
+    # FLOPs + bytes per single forward call from XLA cost analysis
     single = jax.jit(lambda v, x: apply_fn(v, *x)
                      if isinstance(x, (tuple, list)) else apply_fn(v, x))
     try:
@@ -88,8 +132,9 @@ def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
+        nbytes = float(cost.get("bytes accessed", 0.0))
     except Exception:
-        flops = 0.0
+        flops = nbytes = 0.0
 
     run = make_run(n_iters)
     jax.device_get(run(variables, x))  # compile + warmup
@@ -106,7 +151,7 @@ def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
         t0 = time.perf_counter()
         jax.device_get(run(variables, x))
         best = min(best, time.perf_counter() - t0)
-    return lead.shape[0] * n_iters / best, flops
+    return lead.shape[0] * n_iters / best, flops, nbytes
 
 
 def bench_classifier(name: str, batch: int, img: int = 224) -> dict:
@@ -117,11 +162,15 @@ def bench_classifier(name: str, batch: int, img: int = 224) -> dict:
     # impossible numbers (measured 17x on isolated attention blocks).
     x = jax.random.normal(jax.random.key(1), (batch, img, img, 3), jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.key(0), x)
-    ips, flops = timed_throughput(
+    ips, flops, nbytes = timed_throughput(
         lambda v, x: model.apply(v, x), variables, x)
     mfu = ips / batch * flops / chip_peak_flops() if flops else None
-    return {"items_per_s": round(ips, 1), "unit": "img/s", "batch": batch,
-            "mfu": round(mfu, 4) if mfu else None}
+    out = {"items_per_s": round(ips, 1), "unit": "img/s", "batch": batch,
+           "mfu": round(mfu, 4) if mfu else None}
+    rl = roofline(flops, nbytes, ips, batch)
+    if rl:
+        out["roofline"] = rl
+    return out
 
 
 def bench_clip_pair(batch: int = 256) -> dict:
@@ -132,18 +181,24 @@ def bench_clip_pair(batch: int = 256) -> dict:
     txt = jax.random.randint(jax.random.key(2), (batch, 77), 0, 49408,
                              jnp.int32)
     variables = jax.jit(model.init)(jax.random.key(0), img, txt)
-    ips, flops = timed_throughput(
+    ips, flops, nbytes = timed_throughput(
         lambda v, i, t: model.apply(v, i, t)[0], variables, [img, txt])
     mfu = ips / batch * flops / chip_peak_flops() if flops else None
-    return {"items_per_s": round(ips, 1), "unit": "pairs/s", "batch": batch,
-            "mfu": round(mfu, 4) if mfu else None}
+    out = {"items_per_s": round(ips, 1), "unit": "pairs/s", "batch": batch,
+           "mfu": round(mfu, 4) if mfu else None}
+    rl = roofline(flops, nbytes, ips, batch)
+    if rl:
+        out["roofline"] = rl
+    return out
 
 
-def bench_train_step(name: str = "tiny_vit_21m_224", batch: int = 128
+def bench_train_step(name: str = "tiny_vit_21m_224", batch: int = 256
                      ) -> dict:
     """Full AdamW training step (fwd+bwd+update, bf16 compute / fp32 params)
     — the reference's headline training costs (EfficientViT README: M5 300ep
-    ~30h on 8xV100) make train throughput a first-class metric."""
+    ~30h on 8xV100) make train throughput a first-class metric. Batches are
+    the swept optima (bs128/256/384 measured within noise for TinyViT;
+    larger models follow their eval-optimal batches)."""
     import optax
 
     from cream_tpu.models import create_model
@@ -153,13 +208,23 @@ def bench_train_step(name: str = "tiny_vit_21m_224", batch: int = 128
     x = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3),
                           jnp.bfloat16)
     labels = jax.random.randint(jax.random.key(2), (batch,), 0, 1000)
-    variables = jax.jit(model.init)(jax.random.key(0), x)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.key(0), x, train=True)
     state = TrainState.create(params=variables["params"],
                               tx=optax.adamw(1e-3, weight_decay=0.05),
                               batch_stats=variables.get("batch_stats"))
     train_step = make_train_step(model, donate=False)
     batch_d = {"image": x, "label": labels}
     rng = jax.random.key(3)
+
+    try:
+        cost = train_step.lower(state, batch_d, rng).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        nbytes = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        flops = nbytes = 0.0
 
     def run(state, n):
         def body(s, _):
@@ -175,8 +240,15 @@ def bench_train_step(name: str = "tiny_vit_21m_224", batch: int = 128
         t0 = time.perf_counter()
         jax.device_get(g(state))
         best = min(best, time.perf_counter() - t0)
-    return {"items_per_s": round(batch * n_iters / best, 1),
-            "unit": "img/s (train)", "batch": batch}
+    ips = batch * n_iters / best
+    out = {"items_per_s": round(ips, 1), "unit": "img/s (train)",
+           "batch": batch}
+    if flops:
+        out["mfu"] = round(ips / batch * flops / chip_peak_flops(), 4)
+    rl = roofline(flops, nbytes, ips, batch)
+    if rl:
+        out["roofline"] = rl
+    return out
 
 
 def main():
@@ -202,10 +274,22 @@ def main():
     except Exception as e:
         r = {"error": f"{type(e).__name__}: {e}"}
     models["tinyclip_39m_pairs"] = r
-    try:
-        models["tinyvit_21m_train"] = bench_train_step()
-    except Exception as e:
-        models["tinyvit_21m_train"] = {"error": f"{type(e).__name__}: {e}"}
+    train_specs = [
+        ("tinyvit_21m_train", "tiny_vit_21m_224", 256, "tinyvit_21m"),
+        ("efficientvit_m5_train", "efficientvit_m5", 512, "efficientvit_m5"),
+        ("s3_tiny_train", "s3_tiny", 128, "s3_tiny"),
+    ]
+    for key, name, batch, eval_key in train_specs:
+        try:
+            r = bench_train_step(name, batch)
+            ev = models.get(eval_key, {}).get("items_per_s")
+            if ev and "items_per_s" in r:
+                # fwd:train — how much a training step costs relative to an
+                # inference pass (expect ~3x from fwd+bwd+opt)
+                r["fwd_to_train_ratio"] = round(ev / r["items_per_s"], 2)
+        except Exception as e:
+            r = {"error": f"{type(e).__name__}: {e}"}
+        models[key] = r
 
     head = models["tinyvit_21m"]
     print(json.dumps({

