@@ -279,6 +279,24 @@ class EfficientViT(nn.Module):
                 x = self.subsamples[i](x, train)
         return x
 
+    def forward_pyramid(self, x: jnp.ndarray, train: bool = False) -> tuple:
+        """Per-stage feature maps (strides 16/32/64) for detection necks —
+        the downstream backbone contract (EfficientViT/downstream/
+        efficientvit.py:433-441: outs collected after each stage's blocks,
+        before the next subsample)."""
+        for i, pe in enumerate(self.patch_embed):
+            x = pe(x, train)
+            if i < 3:
+                x = nn.relu(x)
+        outs = []
+        for i, stage in enumerate(self.stages):
+            for blk in stage:
+                x = blk(x, train)
+            outs.append(x)
+            if i < len(self.subsamples):
+                x = self.subsamples[i](x, train)
+        return tuple(outs)
+
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = self.forward_features(x, train)
         x = x.mean(axis=(1, 2))
