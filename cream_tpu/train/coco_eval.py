@@ -50,11 +50,39 @@ def iou_xywh(dets: np.ndarray, gts: np.ndarray,
     return out
 
 
-def _evaluate_img(dets, det_scores, gts, gt_crowd, area_rng, max_det):
+def iou_masks(det_masks: np.ndarray, gt_masks: np.ndarray,
+              iscrowd: np.ndarray) -> np.ndarray:
+    """(D, G) binary-mask IoU; crowd gt g: inter / det_area (maskUtils.iou).
+
+    Masks are (N, Hm, Wm) bool at a common resolution (any stride of the
+    image — IoU is scale-invariant; area-range gating is handled by the
+    caller via mask_area_scale)."""
+    D, G = len(det_masks), len(gt_masks)
+    out = np.zeros((D, G), np.float64)
+    if D == 0 or G == 0:
+        return out
+    d = det_masks.reshape(D, -1).astype(np.float64)
+    g = gt_masks.reshape(G, -1).astype(np.float64)
+    inter = d @ g.T
+    da = d.sum(1)
+    ga = g.sum(1)
+    union = np.where(iscrowd[None, :], da[:, None],
+                     da[:, None] + ga[None, :] - inter)
+    np.divide(inter, union, out=out, where=union > 0)
+    return out
+
+
+def _evaluate_img(dets, det_scores, gts, gt_crowd, area_rng, max_det,
+                  det_masks=None, gt_masks=None, mask_area_scale=1.0):
     """Match one (image, category): returns (dt_matches (T, D), dt_ignore
-    (T, D), gt_ignore (G,), det order used) following COCOeval.evaluateImg."""
+    (T, D), gt_ignore (G,), det order used) following COCOeval.evaluateImg.
+    With det_masks/gt_masks (segm mode) IoU and area gating use the masks."""
     T = len(IOU_THRS)
-    gt_area = gts[:, 2] * gts[:, 3] if len(gts) else np.zeros(0)
+    if gt_masks is not None:
+        gt_area = gt_masks.reshape(len(gts), -1).sum(1) * mask_area_scale \
+            if len(gts) else np.zeros(0)
+    else:
+        gt_area = gts[:, 2] * gts[:, 3] if len(gts) else np.zeros(0)
     gt_ig = gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
     # gts sorted: non-ignored first (stable), like gtind = argsort(_ignore)
     gind = np.argsort(gt_ig, kind="stable")
@@ -64,7 +92,10 @@ def _evaluate_img(dets, det_scores, gts, gt_crowd, area_rng, max_det):
 
     dind = np.argsort(-det_scores, kind="stable")[:max_det]
     dets = dets[dind]
-    ious = iou_xywh(dets, gts, gt_crowd)
+    if det_masks is not None:
+        ious = iou_masks(det_masks[dind], gt_masks[gind], gt_crowd)
+    else:
+        ious = iou_xywh(dets, gts, gt_crowd)
 
     D, G = len(dets), len(gts)
     dtm = np.zeros((T, D), np.int64) - 1
@@ -89,22 +120,32 @@ def _evaluate_img(dets, det_scores, gts, gt_crowd, area_rng, max_det):
             dtm[ti, d] = m
             gtm[ti, m] = d
     # unmatched dets outside the area range are ignored
-    det_area = dets[:, 2] * dets[:, 3] if D else np.zeros(0)
+    if det_masks is not None:
+        det_area = det_masks[dind].reshape(D, -1).sum(1) * mask_area_scale \
+            if D else np.zeros(0)
+    else:
+        det_area = dets[:, 2] * dets[:, 3] if D else np.zeros(0)
     out_rng = (det_area < area_rng[0]) | (det_area > area_rng[1])
     dt_ig = dt_ig | ((dtm < 0) & out_rng[None, :])
     return dtm, dt_ig, gt_ig, det_scores[dind]
 
 
 def evaluate_detections(groundtruths: dict, detections: dict,
-                        max_dets: int = 100) -> dict:
-    """COCO bbox metrics.
+                        max_dets: int = 100, mode: str = "bbox",
+                        mask_area_scale: float = 1.0) -> dict:
+    """COCO bbox (mode="bbox") or instance-segmentation (mode="segm") metrics.
 
     groundtruths: {image_id: {"boxes" (G,4) xywh, "labels" (G,),
-                              "iscrowd" (G,) optional}}
+                              "iscrowd" (G,) optional,
+                              "masks" (G,Hm,Wm) bool — segm mode}}
     detections:   {image_id: {"boxes" (D,4) xywh, "labels" (D,),
-                              "scores" (D,)}}
+                              "scores" (D,), "masks" (D,Hm,Wm) — segm mode}}
+    In segm mode IoU and area gating use the binary masks (COCOeval iouType
+    'segm'); masks may live at a reduced canvas stride, with pixel counts
+    scaled back to image area via mask_area_scale (= stride**2).
     Returns the 6 headline numbers (AP, AP50, AP75, APs, APm, APl) + AR100.
     """
+    segm = mode == "segm"
     cats = sorted({int(l) for g in groundtruths.values()
                    for l in np.asarray(g["labels"]).ravel()})
     T, R = len(IOU_THRS), len(RECALL_THRS)
@@ -123,15 +164,23 @@ def evaluate_detections(groundtruths: dict, detections: dict,
                                             np.zeros(len(g_lab)))).astype(bool)[g_sel]
                 det = detections.get(img_id, {"boxes": np.zeros((0, 4)),
                                               "labels": np.zeros(0),
-                                              "scores": np.zeros(0)})
+                                              "scores": np.zeros(0),
+                                              "masks": np.zeros((0, 1, 1))})
                 d_lab = np.asarray(det["labels"]).ravel()
                 d_sel = d_lab == cat
                 d_boxes = np.asarray(det["boxes"], np.float64).reshape(-1, 4)[d_sel]
                 d_scores = np.asarray(det["scores"], np.float64).ravel()[d_sel]
                 if len(g_boxes) == 0 and len(d_boxes) == 0:
                     continue
+                if segm:
+                    g_m = np.asarray(gt["masks"], bool)[g_sel]
+                    d_m = np.asarray(det["masks"], bool)[d_sel]
+                else:
+                    g_m = d_m = None
                 dtm, dt_ig, gt_ig, scores = _evaluate_img(
-                    d_boxes, d_scores, g_boxes, g_crowd, area_rng, max_dets)
+                    d_boxes, d_scores, g_boxes, g_crowd, area_rng, max_dets,
+                    det_masks=d_m, gt_masks=g_m,
+                    mask_area_scale=mask_area_scale)
                 all_scores.append(scores)
                 all_dtm.append(dtm)
                 all_dtig.append(dt_ig)

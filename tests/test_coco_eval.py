@@ -133,6 +133,10 @@ def _write_synthetic_coco(root, n_images=8, size=64):
                                 "category_id": int(rng.randint(1, 4)),
                                 "bbox": [float(x), float(y), float(w),
                                          float(h)],
+                                "segmentation": [[float(x), float(y),
+                                                  float(x + w), float(y),
+                                                  float(x + w), float(y + h),
+                                                  float(x), float(y + h)]],
                                 "area": float(w * h), "iscrowd": 0})
             aid += 1
     ann = {"images": images, "annotations": annotations,
