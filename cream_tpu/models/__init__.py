@@ -16,3 +16,4 @@ from cream_tpu.models import detr  # noqa: F401
 from cream_tpu.models import nasbench201  # noqa: F401
 from cream_tpu.models import retinanet  # noqa: F401
 from cream_tpu.models import mask_rcnn  # noqa: F401
+from cream_tpu.models import cydas_seg  # noqa: F401

@@ -733,3 +733,85 @@ def convert_cdarts_retrain(sd: Mapping[str, np.ndarray], genotypes,
     if with_head:
         b.dense(sd, "fc", "fc")
     return b.variables()
+
+
+def convert_cydas_seg(sd: Mapping[str, np.ndarray]) -> dict:
+    """CyDASseg (CDARTS segmentation downstream) torch state_dict -> flax
+    variables (models/cydas_seg.py naming).
+
+    Reference layout (CDARTS/CDARTS_segmentation/train/cydas.py:336-383):
+    `backbone.*` is a timm-style ChildNet (conv_stem/bn1, blocks.0.0 ds,
+    blocks.{1..5}.{i} ir, blocks.6.0 cn tail; conv_head/classifier exist in
+    the ckpt but are never used by the seg forward and are skipped);
+    `arms32/refines32` are ConvNorm Sequentials (.conv.0 conv, .conv.1 bn);
+    `ffm.conv_1x1` / `*.conv_3x3` are ConvBnRelu (.conv/.bn); Self_Attn
+    heads hold their pipeline in a Sequential `net` (0 conv,1 bn,3 ATT,
+    5 bn,7 conv,8 bn) plus an optional conv shortcut (att_sa.py:146-183).
+    """
+    from cream_tpu.models.cydas_seg import CYDAS_STAGES
+
+    b = _TreeBuilder()
+
+    def conv_bn_split(conv_tp: str, bn_tp: str, fp: str):
+        b._set(b.params, f"{fp}/conv/kernel", _conv(sd[f"{conv_tp}.weight"]))
+        b.bn(sd, bn_tp, f"{fp}/bn")
+
+    def se(tp: str, fp: str):
+        b.conv_biased(sd, f"{tp}.se.conv_reduce", f"{fp}/se/conv_reduce")
+        b.conv_biased(sd, f"{tp}.se.conv_expand", f"{fp}/se/conv_expand")
+
+    def conv_norm(tp: str, fp: str):
+        """operations.py ConvNorm(slimmable=False): .conv.0 conv, .conv.1 bn."""
+        conv_bn_split(f"{tp}.conv.0", f"{tp}.conv.1", f"{fp}/conv")
+
+    def conv_bn_relu(tp: str, fp: str):
+        """seg_oprs.py ConvBnRelu: .conv / .bn children."""
+        conv_bn_split(f"{tp}.conv", f"{tp}.bn", fp)
+
+    def self_attn(tp: str, fp: str, has_shortcut: bool):
+        if has_shortcut:
+            conv_bn_split(f"{tp}.shortcut.0", f"{tp}.shortcut.1",
+                          f"{fp}/shortcut")
+        conv_bn_split(f"{tp}.net.0", f"{tp}.net.1", f"{fp}/net_proj")
+        for c in ("query_conv", "key_conv", "value_conv"):
+            b.conv_biased(sd, f"{tp}.net.3.{c}", f"{fp}/att/{c}")
+        b.raw(sd[f"{tp}.net.3.gamma"], f"{fp}/att/gamma")
+        b.bn(sd, f"{tp}.net.5", f"{fp}/net_bn")
+        conv_bn_split(f"{tp}.net.7", f"{tp}.net.8", f"{fp}/net_out")
+
+    # --- backbone ---
+    p = "backbone"
+    conv_bn_split(f"{p}.conv_stem", f"{p}.bn1", "backbone/conv_stem")
+    q = f"{p}.blocks.0.0"
+    conv_bn_split(f"{q}.conv_dw", f"{q}.bn1", "backbone/blocks_0/conv_dw")
+    se(q, "backbone/blocks_0")
+    conv_bn_split(f"{q}.conv_pw", f"{q}.bn2", "backbone/blocks_0/conv_pw")
+    for s, (_, _, blocks) in enumerate(CYDAS_STAGES):
+        for i in range(len(blocks)):
+            q = f"{p}.blocks.{s + 1}.{i}"
+            fp = f"backbone/stage_{s}_layer_{i}"
+            conv_bn_split(f"{q}.conv_pw", f"{q}.bn1", f"{fp}/conv_pw")
+            conv_bn_split(f"{q}.conv_dw", f"{q}.bn2", f"{fp}/conv_dw")
+            se(q, fp)
+            conv_bn_split(f"{q}.conv_pwl", f"{q}.bn3", f"{fp}/conv_pwl")
+    tail = f"{p}.blocks.{len(CYDAS_STAGES) + 1}.0"
+    conv_bn_split(f"{tail}.conv", f"{tail}.bn1", "backbone/blocks_tail")
+
+    # --- aggregation path ---
+    conv_norm("arms32.0", "arms32_0")
+    conv_norm("arms32.1", "arms32_1")
+    conv_norm("refines32.0", "refines32_0")
+    conv_norm("refines32.1", "refines32_1")
+    conv_bn_relu("ffm.conv_1x1", "ffm/conv")
+
+    # --- heads ---
+    conv_norm("heads8.feature_projection", "heads8/feature_projection")
+    self_attn("heads8.att_sa", "heads8/att_sa", has_shortcut=False)
+    conv_bn_relu("heads8.conv_3x3", "heads8/conv_3x3")
+    b.conv_biased(sd, "heads8.conv_1x1", "heads8/conv_1x1")
+    if "heads16.conv_1x1.weight" in sd:
+        self_attn("heads16.att_sa", "heads16/att_sa", has_shortcut=False)
+        b.conv_biased(sd, "heads16.conv_1x1", "heads16/conv_1x1")
+        self_attn("heads32.att_sa", "heads32/att_sa", has_shortcut=True)
+        b.conv_biased(sd, "heads32.conv_1x1", "heads32/conv_1x1")
+    return b.variables()

@@ -547,3 +547,49 @@ def load_cdarts_model_test():
     _load("utils/genotypes.py", "lib.utils.genotypes")
     _load("models/augment_cells.py", "lib.models.augment_cells")
     return _load("models/model_test.py", "lib.models.model_test")
+
+
+def load_cydas_seg_module():
+    """Import the reference CyDASseg segmentation stack live
+    (CDARTS/CDARTS_segmentation/train/{cydas,builder,operations,seg_oprs,
+    att_sa,slimmable_ops,genotypes}.py — all real reference code). The
+    modules import each other by flat name, so they are registered flat.
+    Stubs: thop (latency profiler, unused at eval), torch._six (removed in
+    modern torch), utils.darts_utils (TensorRT latency helpers), and
+    layers.NaiveSyncBatchNorm -> nn.BatchNorm2d (identical math in a single
+    process)."""
+    if "ref_cydas" in sys.modules:
+        return sys.modules["ref_cydas"]
+    install_easydict_stub()
+    import collections.abc
+    if "thop" not in sys.modules:
+        thop = types.ModuleType("thop")
+        thop.profile = lambda *a, **k: (0.0, 0.0)
+        sys.modules["thop"] = thop
+    if "torch._six" not in sys.modules:
+        six = types.ModuleType("torch._six")
+        six.container_abcs = collections.abc
+        six.int_classes = int
+        six.string_classes = str
+        sys.modules["torch._six"] = six
+    if "utils.darts_utils" not in sys.modules:
+        upkg = types.ModuleType("utils")
+        upkg.__path__ = []
+        du = types.ModuleType("utils.darts_utils")
+        du.compute_latency_ms_tensorrt = lambda *a, **k: 0.0
+        du.compute_latency_ms_pytorch = lambda *a, **k: 0.0
+        upkg.darts_utils = du
+        sys.modules["utils"] = upkg
+        sys.modules["utils.darts_utils"] = du
+    if "layers" not in sys.modules:
+        lay = types.ModuleType("layers")
+        lay.NaiveSyncBatchNorm = nn.BatchNorm2d
+        sys.modules["layers"] = lay
+
+    sroot = "CDARTS/CDARTS_segmentation/train"
+    for leaf in ("slimmable_ops", "operations", "genotypes", "att_sa",
+                 "seg_oprs", "builder"):
+        if leaf not in sys.modules:
+            load_ref_module(f"{sroot}/{leaf}.py", leaf)
+    mod = load_ref_module(f"{sroot}/cydas.py", "ref_cydas")
+    return mod
