@@ -101,6 +101,7 @@ class TinyViT(nn.Module):
     drop_path_rate: float = 0.1
     mbconv_expand_ratio: float = 4.0
     local_conv_size: int = 3
+    remat_stem: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -117,9 +118,17 @@ class TinyViT(nn.Module):
             blocks = []
             for i in range(self.depths[s]):
                 if s == 0:
-                    blocks.append(MBConv(self.embed_dims[0],
-                                         self.mbconv_expand_ratio, dpr[i],
-                                         dtype=self.dtype))
+                    # remat_stem: don't save the 4x-expanded MBConv hiddens
+                    # for backward — recompute them. Memory knob for
+                    # large-batch/high-res finetune; measured SLOWER at
+                    # bs256/224 (1,588 vs 1,695 img/s — the stem bwd is
+                    # BN-reduce/layout-bound, not activation-traffic-bound),
+                    # so default off. train (arg 2) stays static.
+                    cls = nn.remat(MBConv, static_argnums=(2,)) \
+                        if self.remat_stem else MBConv
+                    blocks.append(cls(self.embed_dims[0],
+                                      self.mbconv_expand_ratio, dpr[i],
+                                      dtype=self.dtype))
                 else:
                     blocks.append(TinyViTBlock(
                         self.embed_dims[s], self.num_heads[s],

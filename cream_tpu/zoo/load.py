@@ -59,6 +59,8 @@ def convert_for_model(name: str, sd: Mapping[str, np.ndarray],
         from cream_tpu.models.cream import RELEASED_CHILDNETS
         return it.convert_cream_childnet(sd, RELEASED_CHILDNETS[name],
                                          with_head=with_head)
+    if name.startswith("cydas_seg"):
+        return it.convert_cydas_seg(sd)
     raise ValueError(f"no torch importer wired for model {name!r}")
 
 
