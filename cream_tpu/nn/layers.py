@@ -25,23 +25,53 @@ from cream_tpu.nn.act import gelu
 Dtype = Any
 
 
+class _DWConv3x3(nn.Module):
+    """Depthwise 3x3 s1 p1 conv via ops.dwconv's custom VJP.
+
+    Param tree ("kernel", HWIO (3, 3, 1, C), lecun_normal) matches nn.Conv
+    with feature_group_count=C exactly, so checkpoints are interchangeable
+    with the plain path."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cream_tpu.ops.dwconv import dw_conv3x3
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.features), jnp.float32)
+        return dw_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
+
+
 class ConvBN(nn.Module):
-    """Conv2d(bias=False) + BatchNorm, NHWC. `groups=features` gives depthwise."""
+    """Conv2d(bias=False) + BatchNorm, NHWC. `groups=features` gives depthwise.
+
+    `dw_vjp=True` routes a depthwise-3x3-stride-1 conv through the
+    layout-friendly custom VJP in ops/dwconv.py (identical forward, batch-
+    contraction-free gradients) — a train-path knob; see that module's
+    docstring for the measured rationale."""
     features: int
     kernel_size: int = 1
     stride: int = 1
     padding: int = 0
     groups: int = 1
     bn_weight_init: float = 1.0
+    dw_vjp: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from cream_tpu.ops.dwconv import is_dw3x3
         k = self.kernel_size
-        x = nn.Conv(self.features, (k, k), strides=(self.stride, self.stride),
-                    padding=[(self.padding, self.padding)] * 2,
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        if (self.dw_vjp and x.shape[-1] == self.features
+                and is_dw3x3(k, self.stride, self.padding, self.groups,
+                             self.features)):
+            x = _DWConv3x3(self.features, dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (k, k),
+                        strides=(self.stride, self.stride),
+                        padding=[(self.padding, self.padding)] * 2,
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          scale_init=nn.initializers.constant(self.bn_weight_init),

@@ -1,0 +1,69 @@
+"""Custom-VJP depthwise 3x3 conv == XLA autodiff of the plain conv.
+
+The op (ops/dwconv.py) exists purely for TPU backward-pass layout reasons;
+its contract is bitwise-identical forward and numerically-identical
+gradients vs `lax.conv_general_dilated` + jax autodiff.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cream_tpu.ops.dwconv import dw_conv3x3
+
+
+def _ref(x, w):
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
+
+
+class TestDWConvVJP:
+    def setup_method(self):
+        k = jax.random.key(0)
+        kx, kw, kd = jax.random.split(k, 3)
+        self.x = jax.random.normal(kx, (3, 9, 11, 8), jnp.float32)
+        self.w = jax.random.normal(kw, (3, 3, 1, 8), jnp.float32)
+        self.dy_seed = kd
+
+    def test_forward_bitwise(self):
+        got = jax.jit(dw_conv3x3)(self.x, self.w)
+        want = jax.jit(_ref)(self.x, self.w)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_gradients_match_autodiff(self):
+        dy = jax.random.normal(self.dy_seed, self.x.shape, jnp.float32)
+
+        def loss(fn, x, w):
+            return jnp.sum(fn(x, w) * dy)
+
+        gx, gw = jax.jit(jax.grad(lambda x, w: loss(dw_conv3x3, x, w),
+                                  argnums=(0, 1)))(self.x, self.w)
+        rx, rw = jax.jit(jax.grad(lambda x, w: loss(_ref, x, w),
+                                  argnums=(0, 1)))(self.x, self.w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=1e-6, atol=1e-5)
+
+    def test_grad_through_chain(self):
+        # second application + nonlinearity: vjp composes like any other op
+        def f(fn, x, w):
+            y = fn(x, w)
+            return jnp.sum(jnp.tanh(fn(y, w)))
+
+        got = jax.jit(jax.grad(lambda x, w: f(dw_conv3x3, x, w),
+                               argnums=(0, 1)))(self.x, self.w)
+        want = jax.jit(jax.grad(lambda x, w: f(_ref, x, w),
+                                argnums=(0, 1)))(self.x, self.w)
+        for g, r in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_bf16_inputs(self):
+        x = self.x.astype(jnp.bfloat16)
+        w = self.w  # params stay fp32, op casts
+        got = jax.jit(dw_conv3x3)(x, w)
+        want = jax.jit(_ref)(x, w.astype(jnp.bfloat16))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
