@@ -36,10 +36,10 @@ class _DWConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from cream_tpu.ops.dwconv import dw_conv3x3
+        from cream_tpu.ops.dwconv import dw_conv3x3_auto
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 1, self.features), jnp.float32)
-        return dw_conv3x3(x.astype(self.dtype), kernel.astype(self.dtype))
+        return dw_conv3x3_auto(x.astype(self.dtype), kernel.astype(self.dtype))
 
 
 class ConvBN(nn.Module):

@@ -36,11 +36,14 @@ TinyViT/models/tiny_vit.py:84-122 (torch Conv2d groups=C).
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
@@ -91,3 +94,202 @@ def is_dw3x3(kernel_size: int, stride: int, padding: int, groups: int,
     """True when a ConvBN config is the shape this op covers."""
     return (kernel_size == 3 and stride == 1 and padding == 1
             and groups == features)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas form: forward and backward as single-pass VPU kernels with NO
+# conv ops anywhere — the "layout firewall". A depthwise conv is per-channel
+# independent, so the grid splits channels (no halo); spatial taps are built
+# in VMEM from W-rolls (pltpu.roll on the sublane dim — the sublane-offset
+# *slices* of the earlier attempt are what Mosaic couldn't compile, ROOFLINE.md)
+# and leading-dim H slices (untiled, free). The backward computes dx and the
+# (9, C) weight grad in ONE pass over x/dy (dw accumulated across the batch
+# grid in the fp32 output block, which stays VMEM-resident while its block
+# index repeats).
+# ---------------------------------------------------------------------------
+
+def _wshift(a, s):
+    """aA[.., w+s, ..] with zeros shifted in at the edge (axis=1 of (H,W,C))."""
+    if s == 0:
+        return a
+    W = a.shape[1]
+    r = pltpu.roll(a, (-s) % W, axis=1)
+    col = lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    keep = (col < W - 1) if s > 0 else (col > 0)
+    return jnp.where(keep, r, jnp.zeros_like(r))
+
+
+def _hrows(a, s, r0, r1):
+    """Rows [r0+s, r1+s) of aA (zero rows outside [0, H)); static bounds."""
+    H = a.shape[0]
+    lo, hi = r0 + s, r1 + s
+    parts = []
+    if lo < 0:
+        parts.append(jnp.zeros((-lo,) + a.shape[1:], a.dtype))
+        lo = 0
+    mid_hi = min(hi, H)
+    if mid_hi > lo:
+        parts.append(a[lo:mid_hi])
+    if hi > H:
+        parts.append(jnp.zeros((hi - H,) + a.shape[1:], a.dtype))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+_HCHUNK = 8  # rows per fp32 temp chunk (keeps Mosaic stack temps small)
+
+
+def _fwd_kernel(x_ref, w_ref, y_ref):
+    x = x_ref[0]                                       # (H, W, CB)
+    H = x.shape[0]
+    xw = [_wshift(x, s) for s in (-1, 0, 1)]           # W taps once
+    for r0 in range(0, H, _HCHUNK):
+        r1 = min(r0 + _HCHUNK, H)
+        acc = jnp.zeros((r1 - r0,) + x.shape[1:], jnp.float32)
+        for kh in range(3):
+            for kw in range(3):
+                tap = _hrows(xw[kw], kh - 1, r0, r1).astype(jnp.float32)
+                acc = acc + tap * w_ref[3 * kh + kw, :].astype(jnp.float32)
+        y_ref[0, r0:r1] = acc.astype(y_ref.dtype)
+
+
+def _bwd_kernel(x_ref, dy_ref, w_ref, dx_ref, dw_ref):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[0]
+    d = dy_ref[0]
+    H = x.shape[0]
+    xw = [_wshift(x, s) for s in (-1, 0, 1)]
+    dw_ = [_wshift(d, s) for s in (-1, 0, 1)]
+    dw_acc = jnp.zeros((16, x.shape[-1]), jnp.float32)
+    for r0 in range(0, H, _HCHUNK):
+        r1 = min(r0 + _HCHUNK, H)
+        dch = d[r0:r1].astype(jnp.float32)
+        dx_acc = jnp.zeros((r1 - r0,) + x.shape[1:], jnp.float32)
+        for kh in range(3):
+            for kw in range(3):
+                # dw[kh,kw] = sum dy * shift(x, kh-1, kw-1)
+                xs = _hrows(xw[kw], kh - 1, r0, r1).astype(jnp.float32)
+                t = jnp.sum(xs * dch, axis=(0, 1))[None, :]
+                dw_acc = dw_acc.at[3 * kh + kw:3 * kh + kw + 1, :].add(t)
+                # dx += w[kh,kw] * shift(dy, 1-kh, 1-kw)
+                ds = _hrows(dw_[2 - kw], 1 - kh, r0, r1).astype(jnp.float32)
+                dx_acc = dx_acc + ds * w_ref[3 * kh + kw, :].astype(jnp.float32)
+        dx_ref[0, r0:r1] = dx_acc.astype(dx_ref.dtype)
+    dw_ref[...] += dw_acc
+
+
+def _cblock(H: int, W: int, C: int) -> int:
+    """Largest 128-multiple channel block whose working set fits VMEM."""
+    if C <= 128 or C % 128:
+        return C
+    cb = C
+    while cb % 2 == 0 and cb // 2 % 128 == 0 and H * W * cb * 2 * 6 > 6_000_000:
+        cb //= 2
+    while cb % 3 == 0 and cb // 3 % 128 == 0 and H * W * cb * 2 * 6 > 6_000_000:
+        cb //= 3
+    return cb
+
+
+def supports_fused(x_shape, interpret: bool = False) -> bool:
+    B, H, W, C = x_shape
+    if W < 2 or H < 1:
+        return False
+    cb = _cblock(H, W, C)
+    # x/dy/dx blocks double-buffered (bf16) + fp32 temps must fit VMEM
+    return H * W * cb * 2 * 6 + _HCHUNK * W * cb * 4 * 4 < 13_000_000
+
+
+def _pallas_fwd(x, w9, interpret):
+    B, H, W, C = x.shape
+    cb = _cblock(H, W, C)
+    nc = C // cb
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(nc, B),
+        in_specs=[
+            pl.BlockSpec((1, H, W, cb), lambda c, b: (b, 0, 0, c)),
+            pl.BlockSpec((9, cb), lambda c, b: (0, c)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, cb), lambda c, b: (b, 0, 0, c)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, w9)
+
+
+def _pallas_bwd(x, dy, w9, interpret):
+    B, H, W, C = x.shape
+    cb = _cblock(H, W, C)
+    nc = C // cb
+    dx, dw16 = pl.pallas_call(
+        _bwd_kernel,
+        grid=(nc, B),
+        in_specs=[
+            pl.BlockSpec((1, H, W, cb), lambda c, b: (b, 0, 0, c)),
+            pl.BlockSpec((1, H, W, cb), lambda c, b: (b, 0, 0, c)),
+            pl.BlockSpec((9, cb), lambda c, b: (0, c)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, W, cb), lambda c, b: (b, 0, 0, c)),
+            pl.BlockSpec((16, cb), lambda c, b: (0, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(dy.shape, dy.dtype),
+            jax.ShapeDtypeStruct((16, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, dy, w9)
+    return dx, dw16[:9]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dw_conv3x3_fused(x: jnp.ndarray, w: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Depthwise 3x3 s1 p1 conv, fully Pallas fwd+bwd (no conv ops).
+
+    Same contract as dw_conv3x3 / nn.Conv(feature_group_count=C): x NHWC,
+    w HWIO (3, 3, 1, C). Falls back to the XLA forms off-TPU or when the
+    shape doesn't fit the kernel's VMEM budget."""
+    if not (interpret or _on_tpu()) or not supports_fused(x.shape, interpret):
+        return _dw_fwd_raw(x, w)
+    w9 = w.astype(x.dtype).reshape(9, x.shape[-1])
+    return _pallas_fwd(x, w9, interpret)
+
+
+def _fused_fwd(x, w, interpret):
+    return dw_conv3x3_fused(x, w, interpret), (x, w)
+
+
+def _fused_bwd(interpret, res, dy):
+    x, w = res
+    if not (interpret or _on_tpu()) or not supports_fused(x.shape, interpret):
+        return _bwd(res, dy)
+    w9 = w.astype(x.dtype).reshape(9, x.shape[-1])
+    dx, dw9 = _pallas_bwd(x, dy, w9, interpret)
+    return dx, dw9.reshape(3, 3, 1, x.shape[-1]).astype(w.dtype)
+
+
+dw_conv3x3_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def dw_conv3x3_auto(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Product routing for ConvBN.dw_vjp: the fused Pallas fwd+bwd on TPU
+    (where the layout firewall pays), the plain XLA conv elsewhere — off-TPU
+    there is no layout problem and the 9-shift XLA bwd measured slower."""
+    if _on_tpu() and supports_fused(x.shape):
+        return dw_conv3x3_fused(x, w)
+    return _dw_fwd_raw(x, w)

@@ -67,3 +67,45 @@ class TestDWConvVJP:
         got = jax.jit(dw_conv3x3)(x, w)
         want = jax.jit(_ref)(x, w.astype(jnp.bfloat16))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestDWConvFusedPallas:
+    """Fused Pallas fwd+bwd (interpret mode) == XLA conv + autodiff.
+
+    Covers the channel-block split (C=384 -> 3x128 blocks at 56x56), a
+    non-128-multiple C (576, whole-block), and odd spatial sizes."""
+
+    def _case(self, B, H, W, C):
+        from cream_tpu.ops.dwconv import dw_conv3x3_fused
+        k = jax.random.key(hash((B, H, W, C)) % (2**31))
+        kx, kw, kd = jax.random.split(k, 3)
+        x = jax.random.normal(kx, (B, H, W, C), jnp.float32)
+        w = jax.random.normal(kw, (3, 3, 1, C), jnp.float32)
+        dy = jax.random.normal(kd, (B, H, W, C), jnp.float32)
+
+        fused = lambda a, b: dw_conv3x3_fused(a, b, True)
+        y = jax.jit(fused)(x, w)
+        yr = jax.jit(_ref)(x, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(fn, x, w):
+            return jnp.sum(fn(x, w) * dy)
+        gx, gw = jax.jit(jax.grad(lambda x, w: loss(fused, x, w),
+                                  argnums=(0, 1)))(x, w)
+        rx, rw = jax.jit(jax.grad(lambda x, w: loss(_ref, x, w),
+                                  argnums=(0, 1)))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=1e-4, atol=1e-3)
+
+    def test_odd_small(self):
+        self._case(2, 9, 11, 8)
+
+    def test_whole_block_c576(self):
+        self._case(3, 7, 7, 576)
+
+    def test_channel_split_stage0(self):
+        # 56x56x384 picks a 128-channel block (3 C-blocks) — the split path
+        self._case(2, 56, 56, 384)
