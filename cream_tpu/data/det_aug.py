@@ -26,12 +26,12 @@ def sample_seed(base_seed: int, epoch: int, index: int) -> int:
     return int(x & 0x7FFFFFFF)
 
 
-def random_resized_crop(img: Image.Image, rng: np.random.Generator,
-                        size: int, scale=(0.08, 1.0),
-                        ratio=(3 / 4, 4 / 3)) -> Image.Image:
-    """torchvision RandomResizedCrop semantics (10 tries then center
-    fallback), bicubic."""
-    W, H = img.size
+def rrc_box(W: int, H: int, rng: np.random.Generator, scale=(0.08, 1.0),
+            ratio=(3 / 4, 4 / 3)) -> tuple:
+    """The (x0, y0, w, h) crop box of torchvision RandomResizedCrop (10
+    tries then center fallback). Split out from random_resized_crop so the
+    native C++ pipeline (data/native_pipe.py) consumes the IDENTICAL seeded
+    decision sequence and differs only in resampling arithmetic."""
     area = W * H
     for _ in range(10):
         target = area * rng.uniform(*scale)
@@ -42,8 +42,7 @@ def random_resized_crop(img: Image.Image, rng: np.random.Generator,
         if 0 < w <= W and 0 < h <= H:
             x0 = int(rng.integers(0, W - w + 1))
             y0 = int(rng.integers(0, H - h + 1))
-            return img.resize((size, size), Image.BICUBIC,
-                              box=(x0, y0, x0 + w, y0 + h))
+            return x0, y0, w, h
     # fallback: center crop at the clamped aspect
     in_ratio = W / H
     if in_ratio < ratio[0]:
@@ -52,7 +51,16 @@ def random_resized_crop(img: Image.Image, rng: np.random.Generator,
         w, h = int(round(H * ratio[1])), H
     else:
         w, h = W, H
-    x0, y0 = (W - w) // 2, (H - h) // 2
+    return (W - w) // 2, (H - h) // 2, w, h
+
+
+def random_resized_crop(img: Image.Image, rng: np.random.Generator,
+                        size: int, scale=(0.08, 1.0),
+                        ratio=(3 / 4, 4 / 3)) -> Image.Image:
+    """torchvision RandomResizedCrop semantics (10 tries then center
+    fallback), bicubic."""
+    W, H = img.size
+    x0, y0, w, h = rrc_box(W, H, rng, scale, ratio)
     return img.resize((size, size), Image.BICUBIC, box=(x0, y0, x0 + w, y0 + h))
 
 

@@ -71,6 +71,11 @@ class ImageFolder:
         path, label = self.samples[i]
         return Image.open(path), label
 
+    def load_bytes(self, i: int) -> tuple[bytes, int]:
+        path, label = self.samples[i]
+        with open(path, "rb") as fh:
+            return fh.read(), label
+
 
 def sub_imagenet(dataset: "ImageFolder", per_class: int = 100,
                  seed: int = 0) -> "ImageFolder":
@@ -117,6 +122,10 @@ class ZipImageFolder:
         name, label = self.samples[i]
         return self.reader.read_image(name), label
 
+    def load_bytes(self, i: int) -> tuple[bytes, int]:
+        name, label = self.samples[i]
+        return self.reader._zf().read(name), label
+
 
 class IN22KDataset:
     """ImageNet-22k in TinyViT's layout (data/imagenet22k_dataset.py:14-68):
@@ -156,6 +165,15 @@ class IN22KDataset:
                 os.path.join(self.data_root, cls + ".zip"))
         return reader.read_image(self.fname_format.format(iname)), label
 
+    def load_bytes(self, i: int) -> tuple[bytes, int]:
+        iname, label = self.samples[i]
+        cls = iname[:iname.index("_")]
+        reader = self._readers.get(cls)
+        if reader is None:
+            reader = self._readers[cls] = ZipReader(
+                os.path.join(self.data_root, cls + ".zip"))
+        return reader._zf().read(self.fname_format.format(iname)), label
+
     def get_keys(self) -> list[str]:
         return [s[0] for s in self.samples]
 
@@ -176,12 +194,50 @@ class SyntheticDataset:
         return Image.fromarray(arr), int(rng.integers(self.num_classes))
 
 
+def _use_native(dataset, native) -> bool:
+    from cream_tpu.data import native_pipe
+    if native is False:
+        return False
+    ok = native_pipe.available() and hasattr(dataset, "load_bytes")
+    if native is True and not ok:
+        raise RuntimeError("native image pipeline unavailable "
+                           "(build native/libimage_pipe.so) or dataset has "
+                           "no load_bytes")
+    return ok if native == "auto" else bool(native)
+
+
+def _native_batch(dataset, idx, params_fn, out_size, mean, std, pil_fn,
+                  n_threads, allow_prescale=True):
+    """Decode a batch through native_pipe; per-image PIL fallback on any
+    decode/parse failure (non-JPEG bytes, truncation)."""
+    from cream_tpu.data import native_pipe
+
+    pairs = [dataset.load_bytes(int(i)) for i in idx]
+    bufs = [p[0] for p in pairs]
+    labels = np.asarray([p[1] for p in pairs], np.int32)
+    wh = native_pipe.probe_sizes(bufs)
+    params = params_fn(wh)
+    images, status = native_pipe.decode_batch(
+        bufs, params, out_size, mean, std, n_threads=n_threads,
+        allow_prescale=allow_prescale)
+    for j in np.nonzero((status != 0) | (wh[:, 0] <= 0))[0]:
+        images[int(j)] = pil_fn(int(j))  # pil_fn takes the batch position
+    return images, labels
+
+
 def eval_loader(dataset, batch_size: int, img_size: int = 224,
                 crop: bool = True, clip_norm: bool = False,
-                num_workers: int = 8, pad_final: bool = True
-                ) -> Iterator[dict]:
+                num_workers: int = 8, pad_final: bool = True,
+                native=False) -> Iterator[dict]:
     """Deterministic eval batches; final partial batch padded with label=-1
-    (the eval step masks them), so shapes stay static under jit."""
+    (the eval step masks them), so shapes stay static under jit.
+
+    native: False | True | "auto" — route decode/resize/normalize through
+    the C++ pipeline (native/image_pipe.cc) when available; augmentation
+    *decisions* are identical, resampling matches PIL within ~1/255 (see
+    data/native_pipe.py). Keep False for golden-logit comparisons."""
+    from cream_tpu.data import native_pipe
+
     cfg = eval_preprocess_config(img_size, crop=crop, clip=clip_norm)
 
     def load_one(i):
@@ -189,6 +245,23 @@ def eval_loader(dataset, batch_size: int, img_size: int = 224,
         return preprocess_pil(img, cfg), label
 
     n = len(dataset)
+    if _use_native(dataset, native):
+        for start in range(0, n, batch_size):
+            idx = list(range(start, min(start + batch_size, n)))
+            images, labels = _native_batch(
+                dataset, idx, lambda wh: native_pipe.eval_params(wh, cfg),
+                cfg.crop, cfg.mean, cfg.std,
+                lambda j: load_one(idx[j])[0], num_workers,
+                allow_prescale=False)
+            index = np.asarray(idx, np.int32)
+            if pad_final and len(idx) < batch_size:
+                pad = batch_size - len(idx)
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+                labels = np.concatenate([labels, -np.ones(pad, np.int32)])
+                index = np.concatenate([index, -np.ones(pad, np.int32)])
+            yield {"image": images, "label": labels, "index": index}
+        return
     with ThreadPoolExecutor(num_workers) as pool:
         for start in range(0, n, batch_size):
             idx = list(range(start, min(start + batch_size, n)))
@@ -209,7 +282,8 @@ def train_loader(dataset, batch_size: int, epoch: int, base_seed: int = 0,
                  img_size: int = 224, num_workers: int = 8,
                  shuffle: bool = True, drop_last: bool = True,
                  mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
-                 transform=None, repeated_aug: int = 0) -> Iterator[dict]:
+                 transform=None, repeated_aug: int = 0,
+                 native=False) -> Iterator[dict]:
     """Seeded training batches. Every sample carries its aug seed so saved
     teacher logits can be replayed (TinyViT distillation semantics).
 
@@ -218,7 +292,13 @@ def train_loader(dataset, batch_size: int, epoch: int, base_seed: int = 0,
     to the plain RRC+flip pipeline.
     repeated_aug: >0 enables the RASampler behavior (AutoFormer/lib/
     samplers.py): each epoch visits ~n/reps distinct samples, each repeated
-    `repeated_aug` times with different aug seeds."""
+    `repeated_aug` times with different aug seeds.
+    native: route the plain RRC+flip pixel path through the C++ pipeline
+    (same seeded crop/flip decisions — native_pipe.train_params); only valid
+    with transform=None (the full RandAugment recipe stays PIL)."""
+    if native and transform is not None:
+        raise ValueError("native train path covers only the default "
+                         "RRC+flip transform")
     n = len(dataset)
     if repeated_aug and repeated_aug > 1:
         order, reps = repeated_aug_order(n, epoch, base_seed, repeated_aug)
@@ -243,6 +323,23 @@ def train_loader(dataset, batch_size: int, epoch: int, base_seed: int = 0,
 
     m = len(order)
     end = m - (m % batch_size) if drop_last else m
+    if _use_native(dataset, native):
+        from cream_tpu.data import native_pipe
+        for start in range(0, end, batch_size):
+            idx = order[start:start + batch_size]
+            rr = reps[start:start + batch_size]
+            seeds = [sample_seed(base_seed + 101 * int(r), epoch, int(i))
+                     for i, r in zip(idx, rr)]
+            images, labels = _native_batch(
+                dataset, idx,
+                lambda wh: native_pipe.train_params(wh, seeds, img_size),
+                img_size, mean, std,
+                lambda j: load_one((idx[j], rr[j]))[0],
+                num_workers)
+            yield {"image": images, "label": labels,
+                   "index": np.asarray(idx, np.int32),
+                   "seed": np.asarray(seeds, np.int32)}
+        return
     with ThreadPoolExecutor(num_workers) as pool:
         for start in range(0, end, batch_size):
             idx = order[start:start + batch_size]
