@@ -45,24 +45,25 @@ class _DWConv3x3(nn.Module):
 class ConvBN(nn.Module):
     """Conv2d(bias=False) + BatchNorm, NHWC. `groups=features` gives depthwise.
 
-    `dw_vjp=True` routes a depthwise-3x3-stride-1 conv through the
-    layout-friendly custom VJP in ops/dwconv.py (identical forward, batch-
-    contraction-free gradients) — a train-path knob; see that module's
-    docstring for the measured rationale."""
+    `dw_vjp=True` routes a depthwise-3x3-stride-1 conv through the fused
+    Pallas fwd/bwd (TPU) in ops/dwconv.py — conv-emitter-free graphs, batch-
+    contraction-free gradients; None defers to ops.dwconv.DEFAULT_DW_VJP
+    (the measured global verdict); see that module's docstring."""
     features: int
     kernel_size: int = 1
     stride: int = 1
     padding: int = 0
     groups: int = 1
     bn_weight_init: float = 1.0
-    dw_vjp: bool = False
+    dw_vjp: bool | None = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from cream_tpu.ops.dwconv import is_dw3x3
+        from cream_tpu.ops.dwconv import default_dw_vjp, is_dw3x3
         k = self.kernel_size
-        if (self.dw_vjp and x.shape[-1] == self.features
+        use_dw = default_dw_vjp() if self.dw_vjp is None else self.dw_vjp
+        if (use_dw and x.shape[-1] == self.features
                 and is_dw3x3(k, self.stride, self.padding, self.groups,
                              self.features)):
             x = _DWConv3x3(self.features, dtype=self.dtype, name="conv")(x)

@@ -89,6 +89,15 @@ def _bwd(res, dy):
 dw_conv3x3.defvjp(_fwd, _bwd)
 
 
+# Module default for ConvBN.dw_vjp=None sites (flip for A/B measurements or
+# set True globally once the full-train-step verdict is in).
+DEFAULT_DW_VJP = False
+
+
+def default_dw_vjp() -> bool:
+    return DEFAULT_DW_VJP
+
+
 def is_dw3x3(kernel_size: int, stride: int, padding: int, groups: int,
              features: int) -> bool:
     """True when a ConvBN config is the shape this op covers."""
