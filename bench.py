@@ -251,6 +251,47 @@ def bench_train_step(name: str = "tiny_vit_21m_224", batch: int = 256
     return out
 
 
+def bench_data_pipeline(n: int = 256) -> dict:
+    """Host-side input-pipeline throughput: the native C++ image pipeline
+    (decode + Pillow-style antialiased resample + normalize,
+    native/image_pipe.cc) vs the PIL thread-pool path, on in-memory
+    ImageNet-val-shaped JPEGs (500x375 -> eval 224). Host img/s must exceed
+    chip img/s for the loader not to be the training bottleneck."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from cream_tpu.data import native_pipe
+    from cream_tpu.data.transforms import (eval_preprocess_config,
+                                           preprocess_pil)
+
+    rng = np.random.default_rng(0)
+    small = rng.integers(0, 256, (31, 41, 3), dtype=np.uint8)
+    arr = np.asarray(Image.fromarray(small).resize((500, 375), Image.BICUBIC))
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=90)
+    bufs = [buf.getvalue()] * n
+    cfg = eval_preprocess_config(224)
+
+    out = {"unit": "img/s (host eval preprocess)", "batch": n}
+    t0 = time.perf_counter()
+    for b in bufs[:64]:
+        preprocess_pil(Image.open(io.BytesIO(b)), cfg)
+    out["pil_1thread"] = round(64 / (time.perf_counter() - t0), 1)
+    if native_pipe.available():
+        wh = native_pipe.probe_sizes(bufs)
+        params = native_pipe.eval_params(wh, cfg)
+        native_pipe.decode_batch(bufs, params, 224, cfg.mean, cfg.std)  # warm
+        t0 = time.perf_counter()
+        imgs, status = native_pipe.decode_batch(bufs, params, 224,
+                                                cfg.mean, cfg.std)
+        dt = time.perf_counter() - t0
+        assert int(status.sum()) == 0
+        out["native"] = round(n / dt, 1)
+    return out
+
+
 def main():
     models = {}
     specs = [
@@ -290,6 +331,11 @@ def main():
         except Exception as e:
             r = {"error": f"{type(e).__name__}: {e}"}
         models[key] = r
+
+    try:
+        models["data_pipeline"] = bench_data_pipeline()
+    except Exception as e:
+        models["data_pipeline"] = {"error": f"{type(e).__name__}: {e}"}
 
     head = models["tinyvit_21m"]
     print(json.dumps({
