@@ -57,7 +57,8 @@ def main(argv=None):
     ds = build_dataset(cfg, train=False)
     results = []
     for b in eval_loader(ds, cfg.data.batch_size, cfg.data.img_size,
-                         cfg.data.crop, num_workers=cfg.data.num_workers):
+                         cfg.data.crop, num_workers=cfg.data.num_workers,
+                         native=cfg.data.native_loader):
         sb = shard_batch(mesh, {"image": jnp.asarray(b["image"], dtype),
                                 "label": jnp.asarray(b["label"])})
         results.append(jax.device_get(eval_step(state, sb)))

@@ -195,7 +195,8 @@ def main(argv=None):
             "label": jnp.asarray(b["label"])}))
             for b in eval_loader(eval_ds, cfg.data.batch_size,
                                  cfg.data.img_size, cfg.data.crop,
-                                 num_workers=cfg.data.num_workers)]
+                                 num_workers=cfg.data.num_workers,
+                                 native=cfg.data.native_loader)]
         acc = topk_accuracy_counts([jax.device_get(e) for e in evals])
         max_acc = max(max_acc, acc["acc1"])
         print(f"epoch {epoch} done in {time.time()-t0:.1f}s "

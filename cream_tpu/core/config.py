@@ -66,6 +66,9 @@ class DataConfig:
     num_workers: int = 8
     crop: bool = True                              # TEST.CROP semantics
     interpolation: str = "bicubic"
+    # route pixel work through native/libimage_pipe.so where the transform
+    # allows it ("auto" = if built; see data/native_pipe.py)
+    native_loader: str | bool = False
 
 
 @dataclass
