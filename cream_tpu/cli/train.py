@@ -25,7 +25,8 @@ from cream_tpu.core.checkpoint import latest_step, restore_checkpoint, save_chec
 from cream_tpu.core.config import Config
 from cream_tpu.core.mesh import create_mesh, shard_batch
 from cream_tpu.data.imagenet import (
-    ImageFolder, SyntheticDataset, ZipImageFolder, eval_loader, train_loader)
+    ImageFolder, SyntheticDataset, ZipImageFolder, eval_loader, prefetch,
+    train_loader)
 from cream_tpu.data.mixup import mixup_cutmix
 from cream_tpu.models import create_model
 from cream_tpu.train import (
@@ -137,11 +138,11 @@ def main(argv=None):
         if distill:
             from cream_tpu.distill import LogitsReader
             reader = LogitsReader(cfg.distill.teacher_logits_path, epoch)
-        for i, batch in enumerate(train_loader(
+        for i, batch in enumerate(prefetch(train_loader(
                 train_ds, cfg.data.batch_size, epoch, cfg.train.seed,
                 cfg.data.img_size, cfg.data.num_workers,
                 transform=build_train_transform(cfg),
-                repeated_aug=0 if distill else cfg.aug.repeated_aug)):
+                repeated_aug=0 if distill else cfg.aug.repeated_aug))):
             mix_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + i)
             images = jnp.asarray(batch["image"], dtype)
             if distill:

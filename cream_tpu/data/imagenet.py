@@ -194,6 +194,35 @@ class SyntheticDataset:
         return Image.fromarray(arr), int(rng.integers(self.num_classes))
 
 
+def prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Run a batch iterator on a background thread with a bounded queue so
+    host-side decode/augment overlaps the device step (the role of torch
+    DataLoader's prefetch_factor; jit dispatch is async, so one queue of
+    ready numpy batches is all the overlap TPU needs)."""
+    import queue
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = object()
+
+    def run():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(stop)
+        except BaseException as e:  # surface loader errors on the consumer
+            q.put(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _use_native(dataset, native) -> bool:
     from cream_tpu.data import native_pipe
     if native is False:

@@ -129,6 +129,20 @@ class TestLoaderIntegration:
             np.testing.assert_array_equal(rb["seed"], gb["seed"])
             assert np.abs(rb["image"] - gb["image"]).mean() < MEAN_TOL
 
+    def test_prefetch_preserves_order_and_errors(self):
+        from cream_tpu.data.imagenet import prefetch
+
+        assert list(prefetch(iter(range(10)), depth=3)) == list(range(10))
+
+        def boom():
+            yield 1
+            raise ValueError("loader failure")
+
+        it = prefetch(boom(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError):
+            next(it)
+
     def test_native_true_without_lib_raises(self, tmp_path, monkeypatch):
         from cream_tpu.data import native_pipe
         from cream_tpu.data.imagenet import eval_loader
