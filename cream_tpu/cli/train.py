@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from cream_tpu.core.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from cream_tpu.core.checkpoint import (
+    AsyncCheckpointer, latest_step, restore_checkpoint)
 from cream_tpu.core.config import Config
 from cream_tpu.core.mesh import create_mesh, shard_batch
 from cream_tpu.data.imagenet import (
@@ -131,6 +132,7 @@ def main(argv=None):
             wandb_project=cfg.train.wandb_project or None,
             wandb_config=dataclasses.asdict(cfg) if cfg.train.wandb_project
             else None)
+    ckpt = AsyncCheckpointer(ckpt_dir)  # saves overlap the next epoch's steps
     for epoch in range(start_epoch, cfg.train.epochs):
         logger = MetricLogger()
         t0 = time.time()
@@ -203,8 +205,9 @@ def main(argv=None):
         print(f"epoch {epoch} done in {time.time()-t0:.1f}s "
               f"acc@1={acc['acc1']:.3f} acc@5={acc['acc5']:.3f} "
               f"(best {max_acc:.3f})")
-        save_checkpoint(ckpt_dir, int(state.step), state,
-                        extra={"epoch": epoch, "max_accuracy": max_acc})
+        ckpt.save(int(state.step), state,
+                  extra={"epoch": epoch, "max_accuracy": max_acc})
+    ckpt.close()
     return max_acc
 
 

@@ -42,6 +42,42 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
         mngr.wait_until_finished()
 
 
+class AsyncCheckpointer:
+    """Persistent manager whose saves run in the background (orbax's async
+    save path) so checkpoint IO overlaps the next training steps — the
+    reference blocks its loop on torch.save (TinyViT/utils.py:57);
+    wait_until_finished happens lazily before the NEXT save (orbax serializes
+    overlapping saves itself) and on close().
+
+    Usage: ck = AsyncCheckpointer(dir); ck.save(step, state, extra); ...;
+    ck.close()  (or use as a context manager).
+    """
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 3):
+        self._mngr = _manager(ckpt_dir, max_to_keep)
+
+    def save(self, step: int, state: Any, extra: dict | None = None):
+        args = {"state": ocp.args.StandardSave(state)}
+        if hasattr(state, "params"):
+            args["params"] = ocp.args.StandardSave(state.params)
+        if extra:
+            args["extra"] = ocp.args.JsonSave(extra)
+        self._mngr.save(step, args=ocp.args.Composite(**args))
+
+    def wait(self):
+        self._mngr.wait_until_finished()
+
+    def close(self):
+        self._mngr.wait_until_finished()
+        self._mngr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def restore_params(ckpt_dir: str, abstract_params: Any,
                    step: int | None = None) -> Any:
     """Restore only the params tree saved by save_checkpoint."""

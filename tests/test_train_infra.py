@@ -183,6 +183,21 @@ class TestCheckpoint:
         np.testing.assert_array_equal(restored.params["w"], params["w"])
 
 
+    def test_async_checkpointer(self, tmp_path):
+        from cream_tpu.core.checkpoint import (
+            AsyncCheckpointer, latest_step, restore_checkpoint)
+        params = {"w": jnp.arange(4, dtype=jnp.float32)}
+        state = TrainState.create(params=params, tx=optax.adam(1e-3))
+        with AsyncCheckpointer(str(tmp_path / "ck"), max_to_keep=2) as ck:
+            for step in (1, 2, 3):  # overlapping saves serialize in orbax
+                ck.save(step, state, extra={"epoch": step})
+        assert latest_step(str(tmp_path / "ck")) == 3
+        restored, extra, step = restore_checkpoint(
+            str(tmp_path / "ck"), jax.eval_shape(lambda: state))
+        assert step == 3 and extra["epoch"] == 3
+        np.testing.assert_array_equal(restored.params["w"], params["w"])
+
+
 class TestMetrics:
     def test_average_meter(self):
         m = AverageMeter(window=2)
