@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from cream_tpu.core.config import Config
-from cream_tpu.core.mesh import create_mesh, shard_batch
+from cream_tpu.core.mesh import create_mesh, init_distributed, shard_batch
 from cream_tpu.cli.train import build_dataset
 from cream_tpu.data.imagenet import eval_loader
 from cream_tpu.models import create_model

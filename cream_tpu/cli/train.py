@@ -24,7 +24,7 @@ import optax
 from cream_tpu.core.checkpoint import (
     AsyncCheckpointer, latest_step, restore_checkpoint)
 from cream_tpu.core.config import Config
-from cream_tpu.core.mesh import create_mesh, shard_batch
+from cream_tpu.core.mesh import create_mesh, init_distributed, shard_batch
 from cream_tpu.data.imagenet import (
     ImageFolder, SyntheticDataset, ZipImageFolder, eval_loader, prefetch,
     train_loader)
@@ -68,6 +68,11 @@ def main(argv=None):
     args = ap.parse_args(argv)
     cfg = Config.from_yaml(args.cfg, args.opts)
 
+    multi_host = init_distributed()
+    # per-host strided slice of every epoch (DistributedSampler role); the
+    # global order/seeds don't depend on host count
+    dshard = ((jax.process_index(), jax.process_count())
+              if multi_host else None)
     mesh = create_mesh()
     print(f"devices: {jax.devices()} mesh: {mesh}")
 
@@ -144,7 +149,8 @@ def main(argv=None):
                 train_ds, cfg.data.batch_size, epoch, cfg.train.seed,
                 cfg.data.img_size, cfg.data.num_workers,
                 transform=build_train_transform(cfg),
-                repeated_aug=0 if distill else cfg.aug.repeated_aug))):
+                repeated_aug=0 if distill else cfg.aug.repeated_aug,
+                shard=dshard))):
             mix_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + i)
             images = jnp.asarray(batch["image"], dtype)
             if distill:
@@ -199,7 +205,8 @@ def main(argv=None):
             for b in eval_loader(eval_ds, cfg.data.batch_size,
                                  cfg.data.img_size, cfg.data.crop,
                                  num_workers=cfg.data.num_workers,
-                                 native=cfg.data.native_loader)]
+                                 native=cfg.data.native_loader,
+                                 shard=dshard)]
         acc = topk_accuracy_counts([jax.device_get(e) for e in evals])
         max_acc = max(max_acc, acc["acc1"])
         print(f"epoch {epoch} done in {time.time()-t0:.1f}s "

@@ -44,6 +44,33 @@ def create_mesh(axes: Mapping[str, int] | None = None,
     return Mesh(dev_array, axis_names=tuple(names))
 
 
+def init_distributed() -> bool:
+    """Multi-host bring-up: jax.distributed.initialize() when the coordinator
+    env is present (the role of the reference's init_process_group /
+    init_distributed_mode — AutoFormer/lib/utils.py:209-233,
+    TinyCLIP/src/training/distributed.py:23-110; SURVEY.md §5). Call BEFORE
+    any other jax use on pods; a no-op single-host. Returns True when
+    running multi-process."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_count() > 1
+
+
+def process_shard(n_or_array, index: int | None = None,
+                  count: int | None = None):
+    """This host's strided slice of a sample order — the DistributedSampler
+    role (each host reads only its own samples; union over hosts is exactly
+    the full order, disjoint)."""
+    index = jax.process_index() if index is None else index
+    count = jax.process_count() if count is None else count
+    if isinstance(n_or_array, int):
+        n_or_array = np.arange(n_or_array)
+    return n_or_array[index::count]
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding for a batch-leading array: shard dim 0 over the data axis."""
     return NamedSharding(mesh, P(axis))
@@ -54,8 +81,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device-put every leaf of a batch pytree with dim-0 sharded over `axis`."""
+    """Device-put a batch pytree with dim-0 sharded over `axis`.
+
+    Single-process: a plain sharded device_put. Multi-process (pod): each
+    host passes its process-LOCAL slice (from a process_shard'ed loader) and
+    the global jax.Array is assembled host-locally with
+    make_array_from_process_local_data — no cross-host copy of pixels."""
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
 
 

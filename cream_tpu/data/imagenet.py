@@ -257,14 +257,18 @@ def _native_batch(dataset, idx, params_fn, out_size, mean, std, pil_fn,
 def eval_loader(dataset, batch_size: int, img_size: int = 224,
                 crop: bool = True, clip_norm: bool = False,
                 num_workers: int = 8, pad_final: bool = True,
-                native=False) -> Iterator[dict]:
+                native=False, shard: tuple | None = None) -> Iterator[dict]:
     """Deterministic eval batches; final partial batch padded with label=-1
     (the eval step masks them), so shapes stay static under jit.
 
     native: False | True | "auto" — route decode/resize/normalize through
     the C++ pipeline (native/image_pipe.cc) when available; augmentation
     *decisions* are identical, resampling matches PIL within ~1/255 (see
-    data/native_pipe.py). Keep False for golden-logit comparisons."""
+    data/native_pipe.py). Keep False for golden-logit comparisons.
+    shard: (process_index, process_count) — this host reads only its strided
+    subset (DistributedSampler role); batch_size is then per-host. Every
+    host emits the SAME number of (padded) batches regardless of how the
+    remainder falls, so multi-host collectives can't desynchronize."""
     from cream_tpu.data import native_pipe
 
     cfg = eval_preprocess_config(img_size, crop=crop, clip=clip_norm)
@@ -273,30 +277,35 @@ def eval_loader(dataset, batch_size: int, img_size: int = 224,
         img, label = dataset.load(i)
         return preprocess_pil(img, cfg), label
 
-    n = len(dataset)
-    if _use_native(dataset, native):
-        for start in range(0, n, batch_size):
-            idx = list(range(start, min(start + batch_size, n)))
-            images, labels = _native_batch(
-                dataset, idx, lambda wh: native_pipe.eval_params(wh, cfg),
-                cfg.crop, cfg.mean, cfg.std,
-                lambda j: load_one(idx[j])[0], num_workers,
-                allow_prescale=False)
-            index = np.asarray(idx, np.int32)
-            if pad_final and len(idx) < batch_size:
-                pad = batch_size - len(idx)
-                images = np.concatenate(
-                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
-                labels = np.concatenate([labels, -np.ones(pad, np.int32)])
-                index = np.concatenate([index, -np.ones(pad, np.int32)])
-            yield {"image": images, "label": labels, "index": index}
-        return
+    all_idx = np.arange(len(dataset))
+    if shard is not None:
+        # host-count-invariant step count: size of the largest host shard
+        longest = -(-len(all_idx) // shard[1])
+        n_steps = -(-longest // batch_size)
+        all_idx = all_idx[shard[0]::shard[1]]
+        pad_final = True
+    else:
+        n_steps = -(-len(all_idx) // batch_size)
+    n = len(all_idx)
+    use_native = _use_native(dataset, native)
+
+    def pil_batch(idx, pool):
+        results = list(pool.map(load_one, idx))
+        images = (np.stack([r[0] for r in results]) if idx else
+                  np.zeros((0, cfg.crop, cfg.crop, 3), np.float32))
+        return images, np.asarray([r[1] for r in results], np.int32)
+
     with ThreadPoolExecutor(num_workers) as pool:
-        for start in range(0, n, batch_size):
-            idx = list(range(start, min(start + batch_size, n)))
-            results = list(pool.map(load_one, idx))
-            images = np.stack([r[0] for r in results])
-            labels = np.asarray([r[1] for r in results], np.int32)
+        for k in range(n_steps):
+            idx = all_idx[k * batch_size:min((k + 1) * batch_size, n)].tolist()
+            if use_native and idx:
+                images, labels = _native_batch(
+                    dataset, idx, lambda wh: native_pipe.eval_params(wh, cfg),
+                    cfg.crop, cfg.mean, cfg.std,
+                    lambda j: load_one(idx[j])[0], num_workers,
+                    allow_prescale=False)
+            else:
+                images, labels = pil_batch(idx, pool)
             index = np.asarray(idx, np.int32)
             if pad_final and len(idx) < batch_size:
                 pad = batch_size - len(idx)
@@ -312,7 +321,7 @@ def train_loader(dataset, batch_size: int, epoch: int, base_seed: int = 0,
                  shuffle: bool = True, drop_last: bool = True,
                  mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
                  transform=None, repeated_aug: int = 0,
-                 native=False) -> Iterator[dict]:
+                 native=False, shard: tuple | None = None) -> Iterator[dict]:
     """Seeded training batches. Every sample carries its aug seed so saved
     teacher logits can be replayed (TinyViT distillation semantics).
 
@@ -324,7 +333,10 @@ def train_loader(dataset, batch_size: int, epoch: int, base_seed: int = 0,
     `repeated_aug` times with different aug seeds.
     native: route the plain RRC+flip pixel path through the C++ pipeline
     (same seeded crop/flip decisions — native_pipe.train_params); only valid
-    with transform=None (the full RandAugment recipe stays PIL)."""
+    with transform=None (the full RandAugment recipe stays PIL).
+    shard: (process_index, process_count) — this host's strided slice of the
+    epoch order. The order/seeds are derived from (base_seed, epoch) BEFORE
+    slicing, so the global sample/aug sequence is host-count-invariant."""
     if native and transform is not None:
         raise ValueError("native train path covers only the default "
                          "RRC+flip transform")
@@ -337,6 +349,14 @@ def train_loader(dataset, batch_size: int, epoch: int, base_seed: int = 0,
         if shuffle:
             perm = np.random.default_rng(base_seed + epoch).permutation(n)
             order = order[perm]
+
+    if shard is not None:
+        # equal per-host length (floor) so every host runs the same number
+        # of steps — a trailing remainder of < count samples is dropped,
+        # like DistributedSampler's drop_last
+        per_host = len(order) // shard[1]
+        order = order[shard[0]::shard[1]][:per_host]
+        reps = reps[shard[0]::shard[1]][:per_host]
 
     if transform is None:
         def transform(img, seed):

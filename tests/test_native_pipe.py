@@ -143,6 +143,47 @@ class TestLoaderIntegration:
         with pytest.raises(ValueError):
             next(it)
 
+    def test_host_sharded_loaders_partition(self, tmp_path):
+        """shard=(i, k) slices are disjoint and their union is the full
+        epoch — the DistributedSampler contract; per-sample aug seeds are
+        host-count-invariant."""
+        from cream_tpu.core.mesh import process_shard
+        from cream_tpu.data.imagenet import eval_loader, train_loader
+
+        np.testing.assert_array_equal(
+            np.sort(np.concatenate([process_shard(10, 0, 3),
+                                    process_shard(10, 1, 3),
+                                    process_shard(10, 2, 3)])), np.arange(10))
+
+        ds = self._folder(tmp_path)
+        full = [i for b in eval_loader(ds, 2, pad_final=False)
+                for i in b["index"]]
+        # sharded eval always pads (hosts must emit equal batch counts);
+        # label=-1/index=-1 rows are what the eval step masks out
+        parts = [i for s in (0, 1)
+                 for b in eval_loader(ds, 2, shard=(s, 2))
+                 for i in b["index"] if i >= 0]
+        assert sorted(parts) == sorted(full)
+        steps = [sum(1 for _ in eval_loader(ds, 2, shard=(s, 2)))
+                 for s in (0, 1)]
+        assert steps[0] == steps[1]  # equal step count regardless of remainder
+
+        ref = {}
+        for b in train_loader(ds, 1, epoch=3, drop_last=False):
+            ref[int(b["index"][0])] = int(b["seed"][0])
+        got = {}
+        for s in (0, 1):
+            shard_seen = {}
+            for b in train_loader(ds, 1, epoch=3, drop_last=False,
+                                  shard=(s, 2)):
+                shard_seen[int(b["index"][0])] = int(b["seed"][0])
+            assert len(shard_seen) == len(ds) // 2  # equal per-host length
+            assert not (set(shard_seen) & set(got))  # disjoint across hosts
+            got.update(shard_seen)
+        # every kept sample keeps its host-count-independent aug seed
+        assert all(ref[i] == s for i, s in got.items())
+        assert len(got) == (len(ds) // 2) * 2
+
     def test_native_true_without_lib_raises(self, tmp_path, monkeypatch):
         from cream_tpu.data import native_pipe
         from cream_tpu.data.imagenet import eval_loader
