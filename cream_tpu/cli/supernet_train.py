@@ -95,9 +95,13 @@ def main(argv=None):
         t0 = time.time()
 
         def batches():
-            for b in train_loader(ds, cfg.data.batch_size, epoch,
-                                  cfg.train.seed, cfg.data.img_size,
-                                  cfg.data.num_workers):
+            from cream_tpu.data.imagenet import prefetch
+            dshard = ((jax.process_index(), jax.process_count())
+                      if jax.process_count() > 1 else None)
+            for b in prefetch(train_loader(ds, cfg.data.batch_size, epoch,
+                                           cfg.train.seed, cfg.data.img_size,
+                                           cfg.data.num_workers,
+                                           shard=dshard)):
                 yield {"image": jnp.asarray(b["image"], dtype),
                        "label": jnp.asarray(b["label"])}
 
