@@ -45,6 +45,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     cfg = Config.from_yaml(args.cfg, args.opts)
 
+    multi_host = init_distributed()
+    dshard = ((jax.process_index(), jax.process_count())
+              if multi_host else None)
     mesh = create_mesh()
     dtype = getattr(jnp, cfg.model.dtype)
     model = create_model(cfg.model.name, num_classes=cfg.model.num_classes,
@@ -58,7 +61,7 @@ def main(argv=None):
     results = []
     for b in eval_loader(ds, cfg.data.batch_size, cfg.data.img_size,
                          cfg.data.crop, num_workers=cfg.data.num_workers,
-                         native=cfg.data.native_loader):
+                         native=cfg.data.native_loader, shard=dshard):
         sb = shard_batch(mesh, {"image": jnp.asarray(b["image"], dtype),
                                 "label": jnp.asarray(b["label"])})
         results.append(jax.device_get(eval_step(state, sb)))
