@@ -68,19 +68,42 @@ class ShardListDataset:
 def image_text_loader(dataset: ShardListDataset, tokenizer, epoch: int,
                       batch_size: int, img_size: int = 224,
                       context_length: int = 77, num_workers: int = 8,
-                      start_batch: int = 0) -> Iterator[dict]:
+                      start_batch: int = 0, native=False) -> Iterator[dict]:
     """Batches of {image (B,H,W,3) CLIP-normalized, text (B,L) tokens}.
 
     `start_batch` resumes mid-epoch: the first start_batch*batch_size
     samples of the deterministic epoch stream are skipped, so a checkpoint
     carrying iter_in_epoch restarts on exactly the next unseen batch
-    (TinyCLIP/src/training/main.py:400 iter_in_epoch resume)."""
+    (TinyCLIP/src/training/main.py:400 iter_in_epoch resume).
+    native: False | True | "auto" — decode/resize JPEG members through the
+    C++ pipeline (native/image_pipe.cc), per-pair PIL fallback for non-JPEG
+    members; the CLIP-distill workloads are the framework's biggest data
+    consumers."""
+    from cream_tpu.data import native_pipe
+
     cfg = eval_preprocess_config(img_size, crop=True, clip=True)
+    use_native = (native_pipe.available() if native == "auto"
+                  else bool(native))
+    if native is True and not native_pipe.available():
+        raise RuntimeError("native image pipeline unavailable "
+                           "(build native/libimage_pipe.so)")
 
     def decode(pair):
         _, img_bytes, txt_bytes = pair
         img = preprocess_pil(Image.open(io.BytesIO(img_bytes)), cfg)
         return img, txt_bytes.decode("utf-8", errors="replace").strip()
+
+    def native_images(pairs):
+        bufs = [p[1] for p in pairs]
+        wh = native_pipe.probe_sizes(bufs)
+        params = native_pipe.eval_params(wh, cfg)
+        images, status = native_pipe.decode_batch(
+            bufs, params, cfg.crop, cfg.mean, cfg.std,
+            n_threads=num_workers, allow_prescale=False)
+        for j in np.nonzero((status != 0) | (wh[:, 0] <= 0))[0]:
+            images[int(j)] = preprocess_pil(
+                Image.open(io.BytesIO(bufs[int(j)])), cfg)
+        return images
 
     buf: list = []
     with ThreadPoolExecutor(num_workers) as pool:
@@ -88,10 +111,15 @@ def image_text_loader(dataset: ShardListDataset, tokenizer, epoch: int,
                                        start_sample=start_batch * batch_size):
             buf.append(pair)
             if len(buf) == batch_size:
-                decoded = list(pool.map(decode, buf))
-                yield {"image": np.stack([d[0] for d in decoded]),
-                       "text": tokenizer([d[1] for d in decoded],
-                                         context_length)}
+                texts = [p[2].decode("utf-8", errors="replace").strip()
+                         for p in buf]
+                if use_native:
+                    images = native_images(buf)
+                else:
+                    images = np.stack(
+                        [d[0] for d in pool.map(decode, buf)])
+                yield {"image": images,
+                       "text": tokenizer(texts, context_length)}
                 buf = []
 
 

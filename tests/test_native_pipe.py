@@ -184,6 +184,42 @@ class TestLoaderIntegration:
         assert all(ref[i] == s for i, s in got.items())
         assert len(got) == (len(ds) // 2) * 2
 
+    def test_image_text_loader_native(self, tmp_path):
+        """CLIP shard reader: native decode == PIL path (JPEG members),
+        per-pair PIL fallback for PNG members."""
+        import tarfile
+
+        from cream_tpu.data.shards import ShardListDataset, image_text_loader
+
+        p = tmp_path / "shard_000.tar"
+        with tarfile.open(p, "w") as tf:
+            for j in range(4):
+                key = f"k{j}"
+                if j == 2:  # one PNG member exercises the fallback
+                    png = io.BytesIO()
+                    Image.fromarray(np.full((60, 70, 3), 90, np.uint8)
+                                    ).save(png, "PNG")
+                    payloadi = png.getvalue()
+                else:
+                    payloadi = _jpeg(260, 200, 40 + j)
+                for ext, payload in (("jpg", payloadi),
+                                     (("txt"), f"caption {key}".encode())):
+                    info = tarfile.TarInfo(f"{key}.{ext}")
+                    info.size = len(payload)
+                    tf.addfile(info, io.BytesIO(payload))
+
+        def tok(texts, L):
+            return np.zeros((len(texts), L), np.int32)
+
+        ds = ShardListDataset([str(p)], seed=0)
+        ref = list(image_text_loader(ds, tok, epoch=0, batch_size=2,
+                                     img_size=64))
+        got = list(image_text_loader(ds, tok, epoch=0, batch_size=2,
+                                     img_size=64, native="auto"))
+        assert len(ref) == len(got) == 2
+        for rb, gb in zip(ref, got):
+            assert np.abs(rb["image"] - gb["image"]).mean() < MEAN_TOL
+
     def test_native_true_without_lib_raises(self, tmp_path, monkeypatch):
         from cream_tpu.data import native_pipe
         from cream_tpu.data.imagenet import eval_loader
