@@ -292,7 +292,37 @@ def bench_data_pipeline(n: int = 256) -> dict:
     return out
 
 
+def _device_watchdog(timeout_s: float = 240.0) -> str | None:
+    """Probe the device with a tiny matmul on a side thread. The axon tunnel
+    fails by HANGING (device_get never returns), not by raising — without
+    this, an outage turns the whole bench into an infinite hang instead of a
+    diagnosable JSON error line."""
+    import threading
+
+    err: list = [f"device unresponsive after {timeout_s:.0f}s"]
+
+    def probe():
+        try:
+            x = jnp.ones((256, 256), jnp.bfloat16)
+            jax.device_get(jax.jit(lambda a: a @ a)(x))
+            err[0] = None
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            err[0] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return err[0]
+
+
 def main():
+    wd = _device_watchdog()
+    if wd is not None:
+        print(json.dumps({"metric": "tinyvit21m_224_infer_throughput",
+                          "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+                          "error": f"device probe failed: {wd}"}))
+        return
+
     models = {}
     specs = [
         ("tinyvit_21m", "tiny_vit_21m_224", 256),
