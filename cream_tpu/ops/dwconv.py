@@ -166,14 +166,17 @@ def _bwd_kernel(x_ref, dy_ref, w_ref, dx_ref, dw_ref):
 
     @pl.when(b == 0)
     def _init():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
     x = x_ref[0]
     d = dy_ref[0]
-    H = x.shape[0]
+    H, _, C = x.shape
     xw = [_wshift(x, s) for s in (-1, 0, 1)]
     dw_ = [_wshift(d, s) for s in (-1, 0, 1)]
-    dw_acc = jnp.zeros((16, x.shape[-1]), jnp.float32)
+    # per-tap running sums kept as separate values and concatenated at the
+    # end — an in-place .at[tap].add would lower to scatter-add, which the
+    # Mosaic TC pipeline does not implement
+    taps = [jnp.zeros((1, C), jnp.float32) for _ in range(9)]
     for r0 in range(0, H, _HCHUNK):
         r1 = min(r0 + _HCHUNK, H)
         dch = d[r0:r1].astype(jnp.float32)
@@ -183,11 +186,12 @@ def _bwd_kernel(x_ref, dy_ref, w_ref, dx_ref, dw_ref):
                 # dw[kh,kw] = sum dy * shift(x, kh-1, kw-1)
                 xs = _hrows(xw[kw], kh - 1, r0, r1).astype(jnp.float32)
                 t = jnp.sum(xs * dch, axis=(0, 1))[None, :]
-                dw_acc = dw_acc.at[3 * kh + kw:3 * kh + kw + 1, :].add(t)
+                taps[3 * kh + kw] = taps[3 * kh + kw] + t
                 # dx += w[kh,kw] * shift(dy, 1-kh, 1-kw)
                 ds = _hrows(dw_[2 - kw], 1 - kh, r0, r1).astype(jnp.float32)
                 dx_acc = dx_acc + ds * w_ref[3 * kh + kw, :].astype(jnp.float32)
         dx_ref[0, r0:r1] = dx_acc.astype(dx_ref.dtype)
+    dw_acc = jnp.concatenate(taps + [jnp.zeros((7, C), jnp.float32)], axis=0)
     dw_ref[...] += dw_acc
 
 

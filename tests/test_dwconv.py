@@ -103,6 +103,22 @@ class TestDWConvFusedPallas:
     def test_odd_small(self):
         self._case(2, 9, 11, 8)
 
+    def test_tpu_lowering(self):
+        """AOT-lower both kernels for the TPU platform (no device needed).
+
+        This exercises the Pallas->Mosaic lowering stage, which is where
+        unsupported primitives surface (e.g. an .at[].add accumulator lowers
+        to scatter-add, unimplemented in the Mosaic TC pipeline) — catching
+        them without a TPU round-trip."""
+        from cream_tpu.ops.dwconv import _pallas_bwd, _pallas_fwd
+        for shape in [(2, 56, 56, 384), (2, 7, 7, 576)]:
+            x = jnp.zeros(shape, jnp.bfloat16)
+            w9 = jnp.zeros((9, shape[-1]), jnp.bfloat16)
+            jax.jit(lambda x, w: _pallas_fwd(x, w, False)).trace(
+                x, w9).lower(lowering_platforms=("tpu",))
+            jax.jit(lambda x, d, w: _pallas_bwd(x, d, w, False)).trace(
+                x, x, w9).lower(lowering_platforms=("tpu",))
+
     def test_whole_block_c576(self):
         self._case(3, 7, 7, 576)
 
