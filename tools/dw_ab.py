@@ -1,0 +1,86 @@
+"""TPU A/B: fused Pallas depthwise vs XLA conv — micro + full train step."""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+STAGE0 = (64, 56, 56, 384)  # quarter batch for the micro (compile speed)
+
+
+def timed(fn, *args, n=10, reps=3):
+    """One jitted lax.scan with a data-dependent carry; best-of-reps."""
+    def body(c, _):
+        o = fn(c, *args[1:])
+        return (c + o * 1e-12).astype(c.dtype), ()
+    g = jax.jit(lambda a: lax.scan(body, a, None, length=n)[0].sum())
+    jax.device_get(g(args[0]))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(g(args[0]))
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
+def micro():
+    from cream_tpu.ops.dwconv import _dw_fwd_raw, dw_conv3x3_fused
+    B, H, W, C = STAGE0
+    kx, kw, kd = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(kx, (B, H, W, C), jnp.bfloat16)
+    w = jax.random.normal(kw, (3, 3, 1, C), jnp.float32)
+    dy = jax.random.normal(kd, (B, H, W, C), jnp.bfloat16)
+
+    print("compiling fused fwd...", flush=True)
+    t0 = time.time()
+    y = jax.jit(dw_conv3x3_fused)(x, w)
+    jax.device_get(y)
+    print(f"  fused fwd compiled+ran in {time.time()-t0:.1f}s", flush=True)
+
+    def loss_fused(x, w):
+        return jnp.sum(dw_conv3x3_fused(x, w).astype(jnp.float32) * dy.astype(jnp.float32))
+
+    def loss_xla(x, w):
+        return jnp.sum(_dw_fwd_raw(x, w).astype(jnp.float32) * dy.astype(jnp.float32))
+
+    print("compiling fused bwd...", flush=True)
+    t0 = time.time()
+    g = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))
+    jax.device_get(g(x, w))
+    print(f"  fused bwd compiled+ran in {time.time()-t0:.1f}s", flush=True)
+
+    # correctness vs XLA on-device
+    import numpy as np
+    gx, gw = jax.device_get(g(x, w))
+    rx, rw = jax.device_get(jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(x, w))
+    print("  grad diff dx:", float(np.abs(np.asarray(gx, np.float32) - np.asarray(rx, np.float32)).max()),
+          "dw:", float(np.abs(gw - rw).max()), flush=True)
+
+    t_f = timed(lambda c: dw_conv3x3_fused(c, w), x)
+    t_xf = timed(lambda c: _dw_fwd_raw(c, w), x)
+    print(f"  fwd: fused {t_f*1e3:.2f} ms vs XLA {t_xf*1e3:.2f} ms", flush=True)
+
+    gj = jax.jit(lambda c: jax.grad(loss_fused, argnums=(0,))(c, w)[0])
+    rj = jax.jit(lambda c: jax.grad(loss_xla, argnums=(0,))(c, w)[0])
+    t_b = timed(gj, x)
+    t_xb = timed(rj, x)
+    print(f"  fwd+bwd: fused {t_b*1e3:.2f} ms vs XLA {t_xb*1e3:.2f} ms", flush=True)
+
+
+def full():
+    import bench
+    import cream_tpu.ops.dwconv as dw
+    for flag in (False, True):
+        dw.DEFAULT_DW_VJP = flag
+        t0 = time.time()
+        r = bench.bench_train_step("tiny_vit_21m_224", 256)
+        print(f"train dw_vjp={flag}: {r['items_per_s']} img/s "
+              f"(compile+bench {time.time()-t0:.0f}s)  {r}", flush=True)
+
+
+if __name__ == "__main__":
+    if "full" in sys.argv:
+        full()
+    else:
+        micro()
