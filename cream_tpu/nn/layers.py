@@ -26,20 +26,23 @@ Dtype = Any
 
 
 class _DWConv3x3(nn.Module):
-    """Depthwise 3x3 s1 p1 conv via ops.dwconv's custom VJP.
+    """Depthwise 3x3 conv (stride 1 or 2, pad 1) via ops.dwconv's fused
+    Pallas kernels with XLA fallback.
 
     Param tree ("kernel", HWIO (3, 3, 1, C), lecun_normal) matches nn.Conv
     with feature_group_count=C exactly, so checkpoints are interchangeable
     with the plain path."""
     features: int
+    stride: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from cream_tpu.ops.dwconv import dw_conv3x3_auto
+        from cream_tpu.ops.dwconv import dw_conv3x3_auto, dw_conv3x3s2_auto
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 1, self.features), jnp.float32)
-        return dw_conv3x3_auto(x.astype(self.dtype), kernel.astype(self.dtype))
+        fn = dw_conv3x3_auto if self.stride == 1 else dw_conv3x3s2_auto
+        return fn(x.astype(self.dtype), kernel.astype(self.dtype))
 
 
 class ConvBN(nn.Module):
@@ -60,13 +63,14 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        from cream_tpu.ops.dwconv import default_dw_vjp, is_dw3x3
+        from cream_tpu.ops.dwconv import default_dw_vjp, is_dw3x3_any
         k = self.kernel_size
         use_dw = default_dw_vjp() if self.dw_vjp is None else self.dw_vjp
         if (use_dw and x.shape[-1] == self.features
-                and is_dw3x3(k, self.stride, self.padding, self.groups,
-                             self.features)):
-            x = _DWConv3x3(self.features, dtype=self.dtype, name="conv")(x)
+                and is_dw3x3_any(k, self.stride, self.padding, self.groups,
+                                 self.features)):
+            x = _DWConv3x3(self.features, stride=self.stride,
+                           dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(self.features, (k, k),
                         strides=(self.stride, self.stride),

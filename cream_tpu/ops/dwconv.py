@@ -105,6 +105,13 @@ def is_dw3x3(kernel_size: int, stride: int, padding: int, groups: int,
             and groups == features)
 
 
+def is_dw3x3_any(kernel_size: int, stride: int, padding: int, groups: int,
+                 features: int) -> bool:
+    """dw 3x3 pad-1, stride 1 or 2 — the two shapes the fused family covers."""
+    return (kernel_size == 3 and stride in (1, 2) and padding == 1
+            and groups == features)
+
+
 # ---------------------------------------------------------------------------
 # Fused Pallas form: forward and backward as single-pass VPU kernels with NO
 # conv ops anywhere — the "layout firewall". A depthwise conv is per-channel
@@ -306,3 +313,199 @@ def dw_conv3x3_auto(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     if _on_tpu() and supports_fused(x.shape):
         return dw_conv3x3_fused(x, w)
     return _dw_fwd_raw(x, w)
+
+
+# ---------------------------------------------------------------------------
+# Stride-2 via parity-phase splitting (PatchMerging / EfficientViT subsample
+# / Cream downsample dw convs). Stride-2 access is NOT expressible inside a
+# Mosaic kernel (leading-dim a[0::2] lowers to an unsupported gather;
+# sublane-strided slices are the original compile explosion — ROOFLINE.md),
+# so XLA pre-splits x into its 4 spatial parity phases (cheap elementwise
+# slices); every stride-2 tap then becomes a {0,-1}-shifted STRIDE-1 read of
+# one phase, and the kernel reuses the roll/row-slice machinery above. The
+# backward emits dx as 4 phase tensors that XLA re-interleaves with
+# stack+reshape (leading/minor-adjacent dims only).
+#
+# Tap map for out index (ho, wo) reading source (2*ho+kh-1, 2*wo+kw-1):
+#   kh=0 -> H-odd phase, row ho-1 ; kh=1 -> H-even, ho ; kh=2 -> H-odd, ho
+# (same for kw/W). Even H and W only (all reference call sites are even).
+# ---------------------------------------------------------------------------
+
+def _dw2_fwd_raw(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(2, 2),
+        padding=((1, 1), (1, 1)), dimension_numbers=_DIMNUMS,
+        feature_group_count=x.shape[-1])
+
+
+def _phase_split(x):
+    return (x[:, 0::2, 0::2], x[:, 0::2, 1::2],
+            x[:, 1::2, 0::2], x[:, 1::2, 1::2])
+
+
+def _tap_sources(xee, xeo, xoe, xoo):
+    """tap (kh, kw) -> (H-source, s_h) where H-source already carries the
+    W-phase/W-shift; returns a dict keyed by (kh, kw) of (array, s_h)."""
+    # W variants per H-phase: kw=0 -> odd W phase shifted -1, kw=1 -> even,
+    # kw=2 -> odd unshifted
+    def wvars(even, odd):
+        return {0: _wshift(odd, -1), 1: even, 2: odd}
+
+    heven = wvars(xee, xeo)   # kh = 1 (H-even phase)
+    hodd = wvars(xoe, xoo)    # kh = 0 (shift -1) and kh = 2
+    out = {}
+    for kh in range(3):
+        src = heven if kh == 1 else hodd
+        s_h = -1 if kh == 0 else 0
+        for kw in range(3):
+            out[(kh, kw)] = (src[kw], s_h)
+    return out
+
+
+def _fwd2_kernel(xee_ref, xeo_ref, xoe_ref, xoo_ref, w_ref, y_ref):
+    taps = _tap_sources(xee_ref[0], xeo_ref[0], xoe_ref[0], xoo_ref[0])
+    Ho = y_ref.shape[1]
+    for r0 in range(0, Ho, _HCHUNK):
+        r1 = min(r0 + _HCHUNK, Ho)
+        acc = jnp.zeros((r1 - r0,) + y_ref.shape[2:], jnp.float32)
+        for kh in range(3):
+            for kw in range(3):
+                src, s_h = taps[(kh, kw)]
+                t = _hrows(src, s_h, r0, r1).astype(jnp.float32)
+                acc = acc + t * w_ref[3 * kh + kw, :].astype(jnp.float32)
+        y_ref[0, r0:r1] = acc.astype(y_ref.dtype)
+
+
+def _bwd2_kernel(xee_ref, xeo_ref, xoe_ref, xoo_ref, dy_ref, w_ref,
+                 dxee_ref, dxeo_ref, dxoe_ref, dxoo_ref, dw_ref):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    taps = _tap_sources(xee_ref[0], xeo_ref[0], xoe_ref[0], xoo_ref[0])
+    d = dy_ref[0]
+    Ho, _, C = d.shape
+    dwp = _wshift(d, 1)           # dy[., wo+1]
+    w9 = [w_ref[i, :].astype(jnp.float32) for i in range(9)]
+    tap_tot = [jnp.zeros((1, C), jnp.float32) for _ in range(9)]
+    for r0 in range(0, Ho, _HCHUNK):
+        r1 = min(r0 + _HCHUNK, Ho)
+        dch = d[r0:r1].astype(jnp.float32)
+        dch_w = dwp[r0:r1].astype(jnp.float32)          # dy[a, b+1]
+        dch_h = _hrows(d, 1, r0, r1).astype(jnp.float32)   # dy[a+1, b]
+        dch_hw = _hrows(dwp, 1, r0, r1).astype(jnp.float32)  # dy[a+1, b+1]
+        for kh in range(3):
+            for kw in range(3):
+                src, s_h = taps[(kh, kw)]
+                xs = _hrows(src, s_h, r0, r1).astype(jnp.float32)
+                tap_tot[3 * kh + kw] = tap_tot[3 * kh + kw] + jnp.sum(
+                    xs * dch, axis=(0, 1))[None, :]
+        # dx parity phases (derivation: dx[h, w] sums taps with
+        # kh ≡ (h+1) mod 2, kw ≡ (w+1) mod 2; ho = (h-kh+1)/2 etc.)
+        dxee_ref[0, r0:r1] = (w9[4] * dch).astype(dxee_ref.dtype)
+        dxeo_ref[0, r0:r1] = (w9[3] * dch_w +
+                              w9[5] * dch).astype(dxeo_ref.dtype)
+        dxoe_ref[0, r0:r1] = (w9[1] * dch_h +
+                              w9[7] * dch).astype(dxoe_ref.dtype)
+        dxoo_ref[0, r0:r1] = (w9[0] * dch_hw + w9[2] * dch_h +
+                              w9[6] * dch_w +
+                              w9[8] * dch).astype(dxoo_ref.dtype)
+    dw_ref[...] += jnp.concatenate(
+        tap_tot + [jnp.zeros((7, C), jnp.float32)], axis=0)
+
+
+def supports_fused_s2(x_shape) -> bool:
+    B, H, W, C = x_shape
+    if H % 2 or W % 2 or W < 4:
+        return False
+    return supports_fused((B, H // 2, W // 2, C))
+
+
+def _phase_specs(B, Ho, Wo, cb, n):
+    return [pl.BlockSpec((1, Ho, Wo, cb), lambda c, b: (b, 0, 0, c))
+            for _ in range(n)]
+
+
+def _pallas_fwd2(x, w9, interpret):
+    B, H, W, C = x.shape
+    Ho, Wo = H // 2, W // 2
+    cb = _cblock(Ho, Wo, C)
+    phases = _phase_split(x)
+    return pl.pallas_call(
+        _fwd2_kernel,
+        grid=(C // cb, B),
+        in_specs=_phase_specs(B, Ho, Wo, cb, 4) + [
+            pl.BlockSpec((9, cb), lambda c, b: (0, c))],
+        out_specs=pl.BlockSpec((1, Ho, Wo, cb), lambda c, b: (b, 0, 0, c)),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(*phases, w9)
+
+
+def _pallas_bwd2(x, dy, w9, interpret):
+    B, H, W, C = x.shape
+    Ho, Wo = H // 2, W // 2
+    cb = _cblock(Ho, Wo, C)
+    phases = _phase_split(x)
+    ph_shape = jax.ShapeDtypeStruct((B, Ho, Wo, C), dy.dtype)
+    *dxp, dw16 = pl.pallas_call(
+        _bwd2_kernel,
+        grid=(C // cb, B),
+        in_specs=_phase_specs(B, Ho, Wo, cb, 5) + [
+            pl.BlockSpec((9, cb), lambda c, b: (0, c))],
+        out_specs=_phase_specs(B, Ho, Wo, cb, 4) + [
+            pl.BlockSpec((16, cb), lambda c, b: (0, c))],
+        out_shape=[ph_shape] * 4 + [
+            jax.ShapeDtypeStruct((16, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(*phases, dy, w9)
+    # re-interleave the parity phases: W first (minor-adjacent stack),
+    # then H (leading) — reshapes only touch adjacent dims
+    row_e = jnp.stack([dxp[0], dxp[1]], axis=3).reshape(B, Ho, W, C)
+    row_o = jnp.stack([dxp[2], dxp[3]], axis=3).reshape(B, Ho, W, C)
+    dx = jnp.stack([row_e, row_o], axis=2).reshape(B, H, W, C)
+    return dx, dw16[:9]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dw_conv3x3s2_fused(x: jnp.ndarray, w: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Depthwise 3x3 STRIDE-2 pad-1 conv, Pallas fwd+bwd via parity phases.
+
+    Contract matches nn.Conv(k=3, strides=2, padding=1,
+    feature_group_count=C); falls back to the XLA conv off-TPU or for
+    odd spatial sizes."""
+    if not (interpret or _on_tpu()) or not supports_fused_s2(x.shape):
+        return _dw2_fwd_raw(x, w)
+    w9 = w.astype(x.dtype).reshape(9, x.shape[-1])
+    return _pallas_fwd2(x, w9, interpret)
+
+
+def _fused2_fwd(x, w, interpret):
+    return dw_conv3x3s2_fused(x, w, interpret), (x, w)
+
+
+def _fused2_bwd(interpret, res, dy):
+    x, w = res
+    if not (interpret or _on_tpu()) or not supports_fused_s2(x.shape):
+        # XLA autodiff of the conv form
+        _, vjp = jax.vjp(lambda x_, w_: _dw2_fwd_raw(x_, w_), x, w)
+        return vjp(dy)
+    w9 = w.astype(x.dtype).reshape(9, x.shape[-1])
+    dx, dw9 = _pallas_bwd2(x, dy, w9, interpret)
+    return dx, dw9.reshape(3, 3, 1, x.shape[-1]).astype(w.dtype)
+
+
+dw_conv3x3s2_fused.defvjp(_fused2_fwd, _fused2_bwd)
+
+
+def dw_conv3x3s2_auto(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    if _on_tpu() and supports_fused_s2(x.shape):
+        return dw_conv3x3s2_fused(x, w)
+    return _dw2_fwd_raw(x, w)

@@ -103,6 +103,40 @@ class TestDWConvFusedPallas:
     def test_odd_small(self):
         self._case(2, 9, 11, 8)
 
+    def test_stride2_parity(self):
+        """Stride-2 phase-split kernel == XLA conv + autodiff (fwd, dx, dw)."""
+        from cream_tpu.ops.dwconv import _dw2_fwd_raw, dw_conv3x3s2_fused
+        for (B, H, W, C) in [(2, 8, 12, 8), (2, 28, 28, 192)]:
+            k = jax.random.key(hash((B, H, W, C, 2)) % (2**31))
+            kx, kw, kd = jax.random.split(k, 3)
+            x = jax.random.normal(kx, (B, H, W, C), jnp.float32)
+            w = jax.random.normal(kw, (3, 3, 1, C), jnp.float32)
+            yr = jax.jit(_dw2_fwd_raw)(x, w)
+            dy = jax.random.normal(kd, yr.shape, jnp.float32)
+            fused = lambda a, b: dw_conv3x3s2_fused(a, b, True)
+            np.testing.assert_allclose(np.asarray(jax.jit(fused)(x, w)),
+                                       np.asarray(yr), rtol=2e-5, atol=2e-5)
+
+            def loss(fn, x, w):
+                return jnp.sum(fn(x, w) * dy)
+            gx, gw = jax.jit(jax.grad(lambda x, w: loss(fused, x, w),
+                                      argnums=(0, 1)))(x, w)
+            rx, rw = jax.jit(jax.grad(lambda x, w: loss(_dw2_fwd_raw, x, w),
+                                      argnums=(0, 1)))(x, w)
+            np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                       rtol=1e-4, atol=1e-3)
+
+    def test_stride2_odd_falls_back(self):
+        # odd spatial sizes are out of the phase-split contract -> XLA conv
+        from cream_tpu.ops.dwconv import dw_conv3x3s2_fused, _dw2_fwd_raw
+        x = jax.random.normal(jax.random.key(1), (1, 9, 9, 8), jnp.float32)
+        w = jax.random.normal(jax.random.key(2), (3, 3, 1, 8), jnp.float32)
+        got = jax.jit(lambda a, b: dw_conv3x3s2_fused(a, b, True))(x, w)
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(jax.jit(_dw2_fwd_raw)(x, w)))
+
     def test_tpu_lowering(self):
         """AOT-lower both kernels for the TPU platform (no device needed).
 
@@ -110,7 +144,8 @@ class TestDWConvFusedPallas:
         unsupported primitives surface (e.g. an .at[].add accumulator lowers
         to scatter-add, unimplemented in the Mosaic TC pipeline) — catching
         them without a TPU round-trip."""
-        from cream_tpu.ops.dwconv import _pallas_bwd, _pallas_fwd
+        from cream_tpu.ops.dwconv import (_pallas_bwd, _pallas_bwd2,
+                                          _pallas_fwd, _pallas_fwd2)
         for shape in [(2, 56, 56, 384), (2, 7, 7, 576)]:
             x = jnp.zeros(shape, jnp.bfloat16)
             w9 = jnp.zeros((9, shape[-1]), jnp.bfloat16)
@@ -118,6 +153,13 @@ class TestDWConvFusedPallas:
                 x, w9).lower(lowering_platforms=("tpu",))
             jax.jit(lambda x, d, w: _pallas_bwd(x, d, w, False)).trace(
                 x, x, w9).lower(lowering_platforms=("tpu",))
+        x = jnp.zeros((2, 56, 56, 192), jnp.bfloat16)
+        w9 = jnp.zeros((9, 192), jnp.bfloat16)
+        dy = jnp.zeros((2, 28, 28, 192), jnp.bfloat16)
+        jax.jit(lambda x, w: _pallas_fwd2(x, w, False)).trace(
+            x, w9).lower(lowering_platforms=("tpu",))
+        jax.jit(lambda x, d, w: _pallas_bwd2(x, d, w, False)).trace(
+            x, dy, w9).lower(lowering_platforms=("tpu",))
 
     def test_whole_block_c576(self):
         self._case(3, 7, 7, 576)
