@@ -68,6 +68,37 @@ def micro():
     print(f"  fwd+bwd: fused {t_b*1e3:.2f} ms vs XLA {t_xb*1e3:.2f} ms", flush=True)
 
 
+def micro_s2():
+    from cream_tpu.ops.dwconv import _dw2_fwd_raw, dw_conv3x3s2_fused
+    B, H, W, C = 64, 56, 56, 192  # PM0 shape (quarter batch)
+    kx, kw, kd = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(kx, (B, H, W, C), jnp.bfloat16)
+    w = jax.random.normal(kw, (3, 3, 1, C), jnp.float32)
+    dy = jax.random.normal(kd, (B, H // 2, W // 2, C), jnp.bfloat16)
+
+    def loss_fused(x, w):
+        return jnp.sum(dw_conv3x3s2_fused(x, w).astype(jnp.float32)
+                       * dy.astype(jnp.float32))
+
+    def loss_xla(x, w):
+        return jnp.sum(_dw2_fwd_raw(x, w).astype(jnp.float32)
+                       * dy.astype(jnp.float32))
+
+    import numpy as np
+    gx, gw = jax.device_get(jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(x, w))
+    rx, rw = jax.device_get(jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(x, w))
+    print("  s2 grad diff dx:",
+          float(np.abs(np.asarray(gx, np.float32) - np.asarray(rx, np.float32)).max()),
+          "dw:", float(np.abs(gw - rw).max()), flush=True)
+    t_f = timed(lambda c: dw_conv3x3s2_fused(c, w), x)
+    t_xf = timed(lambda c: _dw2_fwd_raw(c, w), x)
+    print(f"  s2 fwd: fused {t_f*1e3:.2f} ms vs XLA {t_xf*1e3:.2f} ms", flush=True)
+    gj = jax.jit(lambda c: jax.grad(loss_fused, argnums=(0,))(c, w)[0])
+    rj = jax.jit(lambda c: jax.grad(loss_xla, argnums=(0,))(c, w)[0])
+    print(f"  s2 fwd+bwd: fused {timed(gj, x)*1e3:.2f} ms vs XLA {timed(rj, x)*1e3:.2f} ms",
+          flush=True)
+
+
 def full():
     import bench
     import cream_tpu.ops.dwconv as dw
@@ -82,5 +113,7 @@ def full():
 if __name__ == "__main__":
     if "full" in sys.argv:
         full()
+    elif "s2" in sys.argv:
+        micro_s2()
     else:
         micro()
