@@ -125,7 +125,11 @@ def is_dw3x3_any(kernel_size: int, stride: int, padding: int, groups: int,
 # ---------------------------------------------------------------------------
 
 def _wshift(a, s):
-    """aA[.., w+s, ..] with zeros shifted in at the edge (axis=1 of (H,W,C))."""
+    """a[.., w+s, ..] with zeros shifted in at the edge (axis=1 of (H,W,C)).
+
+    Mosaic's tpu.dynamic_rotate only handles 32-bit element types, so
+    callers must pass fp32 (we roll small per-row-chunk fp32 slabs, never
+    whole bf16 blocks)."""
     if s == 0:
         return a
     W = a.shape[1]
@@ -157,13 +161,15 @@ _HCHUNK = 8  # rows per fp32 temp chunk (keeps Mosaic stack temps small)
 def _fwd_kernel(x_ref, w_ref, y_ref):
     x = x_ref[0]                                       # (H, W, CB)
     H = x.shape[0]
-    xw = [_wshift(x, s) for s in (-1, 0, 1)]           # W taps once
     for r0 in range(0, H, _HCHUNK):
         r1 = min(r0 + _HCHUNK, H)
         acc = jnp.zeros((r1 - r0,) + x.shape[1:], jnp.float32)
         for kh in range(3):
+            # H-slice the bf16 block (free, leading dim), THEN cast the
+            # small chunk to fp32 and W-roll it — rolls must be 32-bit.
+            rows = _hrows(x, kh - 1, r0, r1).astype(jnp.float32)
             for kw in range(3):
-                tap = _hrows(xw[kw], kh - 1, r0, r1).astype(jnp.float32)
+                tap = _wshift(rows, kw - 1)
                 acc = acc + tap * w_ref[3 * kh + kw, :].astype(jnp.float32)
         y_ref[0, r0:r1] = acc.astype(y_ref.dtype)
 
@@ -178,8 +184,6 @@ def _bwd_kernel(x_ref, dy_ref, w_ref, dx_ref, dw_ref):
     x = x_ref[0]
     d = dy_ref[0]
     H, _, C = x.shape
-    xw = [_wshift(x, s) for s in (-1, 0, 1)]
-    dw_ = [_wshift(d, s) for s in (-1, 0, 1)]
     # per-tap running sums kept as separate values and concatenated at the
     # end — an in-place .at[tap].add would lower to scatter-add, which the
     # Mosaic TC pipeline does not implement
@@ -189,13 +193,15 @@ def _bwd_kernel(x_ref, dy_ref, w_ref, dx_ref, dw_ref):
         dch = d[r0:r1].astype(jnp.float32)
         dx_acc = jnp.zeros((r1 - r0,) + x.shape[1:], jnp.float32)
         for kh in range(3):
+            xs_rows = _hrows(x, kh - 1, r0, r1).astype(jnp.float32)
+            ds_rows = _hrows(d, 1 - kh, r0, r1).astype(jnp.float32)
             for kw in range(3):
                 # dw[kh,kw] = sum dy * shift(x, kh-1, kw-1)
-                xs = _hrows(xw[kw], kh - 1, r0, r1).astype(jnp.float32)
+                xs = _wshift(xs_rows, kw - 1)
                 t = jnp.sum(xs * dch, axis=(0, 1))[None, :]
                 taps[3 * kh + kw] = taps[3 * kh + kw] + t
                 # dx += w[kh,kw] * shift(dy, 1-kh, 1-kw)
-                ds = _hrows(dw_[2 - kw], 1 - kh, r0, r1).astype(jnp.float32)
+                ds = _wshift(ds_rows, 1 - kw)
                 dx_acc = dx_acc + ds * w_ref[3 * kh + kw, :].astype(jnp.float32)
         dx_ref[0, r0:r1] = dx_acc.astype(dx_ref.dtype)
     dw_acc = jnp.concatenate(taps + [jnp.zeros((7, C), jnp.float32)], axis=0)
@@ -343,36 +349,30 @@ def _phase_split(x):
             x[:, 1::2, 0::2], x[:, 1::2, 1::2])
 
 
-def _tap_sources(xee, xeo, xoe, xoo):
-    """tap (kh, kw) -> (H-source, s_h) where H-source already carries the
-    W-phase/W-shift; returns a dict keyed by (kh, kw) of (array, s_h)."""
-    # W variants per H-phase: kw=0 -> odd W phase shifted -1, kw=1 -> even,
-    # kw=2 -> odd unshifted
-    def wvars(even, odd):
-        return {0: _wshift(odd, -1), 1: even, 2: odd}
+def _tap_rows(phases, kh, r0, r1):
+    """Per-chunk fp32 W-tap variants for tap row kh: {kw: (rows, Wo, C)}.
 
-    heven = wvars(xee, xeo)   # kh = 1 (H-even phase)
-    hodd = wvars(xoe, xoo)    # kh = 0 (shift -1) and kh = 2
-    out = {}
-    for kh in range(3):
-        src = heven if kh == 1 else hodd
-        s_h = -1 if kh == 0 else 0
-        for kw in range(3):
-            out[(kh, kw)] = (src[kw], s_h)
-    return out
+    H-slices the right bf16 parity phase first (free, leading dim), casts
+    the chunk to fp32, then W-rolls — Mosaic rolls must be 32-bit.
+    kw=0 -> odd W phase shifted -1, kw=1 -> even, kw=2 -> odd unshifted."""
+    xee, xeo, xoe, xoo = phases
+    even, odd = (xee, xeo) if kh == 1 else (xoe, xoo)
+    s_h = -1 if kh == 0 else 0
+    even_rows = _hrows(even, s_h, r0, r1).astype(jnp.float32)
+    odd_rows = _hrows(odd, s_h, r0, r1).astype(jnp.float32)
+    return {0: _wshift(odd_rows, -1), 1: even_rows, 2: odd_rows}
 
 
 def _fwd2_kernel(xee_ref, xeo_ref, xoe_ref, xoo_ref, w_ref, y_ref):
-    taps = _tap_sources(xee_ref[0], xeo_ref[0], xoe_ref[0], xoo_ref[0])
+    phases = (xee_ref[0], xeo_ref[0], xoe_ref[0], xoo_ref[0])
     Ho = y_ref.shape[1]
     for r0 in range(0, Ho, _HCHUNK):
         r1 = min(r0 + _HCHUNK, Ho)
         acc = jnp.zeros((r1 - r0,) + y_ref.shape[2:], jnp.float32)
         for kh in range(3):
+            wvar = _tap_rows(phases, kh, r0, r1)
             for kw in range(3):
-                src, s_h = taps[(kh, kw)]
-                t = _hrows(src, s_h, r0, r1).astype(jnp.float32)
-                acc = acc + t * w_ref[3 * kh + kw, :].astype(jnp.float32)
+                acc = acc + wvar[kw] * w_ref[3 * kh + kw, :].astype(jnp.float32)
         y_ref[0, r0:r1] = acc.astype(y_ref.dtype)
 
 
@@ -384,24 +384,22 @@ def _bwd2_kernel(xee_ref, xeo_ref, xoe_ref, xoo_ref, dy_ref, w_ref,
     def _init():
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    taps = _tap_sources(xee_ref[0], xeo_ref[0], xoe_ref[0], xoo_ref[0])
+    phases = (xee_ref[0], xeo_ref[0], xoe_ref[0], xoo_ref[0])
     d = dy_ref[0]
     Ho, _, C = d.shape
-    dwp = _wshift(d, 1)           # dy[., wo+1]
     w9 = [w_ref[i, :].astype(jnp.float32) for i in range(9)]
     tap_tot = [jnp.zeros((1, C), jnp.float32) for _ in range(9)]
     for r0 in range(0, Ho, _HCHUNK):
         r1 = min(r0 + _HCHUNK, Ho)
         dch = d[r0:r1].astype(jnp.float32)
-        dch_w = dwp[r0:r1].astype(jnp.float32)          # dy[a, b+1]
+        dch_w = _wshift(dch, 1)                            # dy[a, b+1]
         dch_h = _hrows(d, 1, r0, r1).astype(jnp.float32)   # dy[a+1, b]
-        dch_hw = _hrows(dwp, 1, r0, r1).astype(jnp.float32)  # dy[a+1, b+1]
+        dch_hw = _wshift(dch_h, 1)                         # dy[a+1, b+1]
         for kh in range(3):
+            wvar = _tap_rows(phases, kh, r0, r1)
             for kw in range(3):
-                src, s_h = taps[(kh, kw)]
-                xs = _hrows(src, s_h, r0, r1).astype(jnp.float32)
                 tap_tot[3 * kh + kw] = tap_tot[3 * kh + kw] + jnp.sum(
-                    xs * dch, axis=(0, 1))[None, :]
+                    wvar[kw] * dch, axis=(0, 1))[None, :]
         # dx parity phases (derivation: dx[h, w] sums taps with
         # kh ≡ (h+1) mod 2, kw ≡ (w+1) mod 2; ho = (h-kh+1)/2 etc.)
         dxee_ref[0, r0:r1] = (w9[4] * dch).astype(dxee_ref.dtype)

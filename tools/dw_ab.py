@@ -14,6 +14,8 @@ def timed(fn, *args, n=10, reps=3):
     def body(c, _):
         o = fn(c, *args[1:])
         return (c + o * 1e-12).astype(c.dtype), ()
+    # device_get only ever touches scalars — big-tensor pulls through the
+    # axon tunnel take minutes and would dominate the measurement.
     g = jax.jit(lambda a: lax.scan(body, a, None, length=n)[0].sum())
     jax.device_get(g(args[0]))
     best = float("inf")
@@ -34,7 +36,7 @@ def micro():
 
     print("compiling fused fwd...", flush=True)
     t0 = time.time()
-    y = jax.jit(dw_conv3x3_fused)(x, w)
+    y = jax.jit(lambda a, b: dw_conv3x3_fused(a, b).astype(jnp.float32).mean())(x, w)
     jax.device_get(y)
     print(f"  fused fwd compiled+ran in {time.time()-t0:.1f}s", flush=True)
 
@@ -44,18 +46,19 @@ def micro():
     def loss_xla(x, w):
         return jnp.sum(_dw_fwd_raw(x, w).astype(jnp.float32) * dy.astype(jnp.float32))
 
-    print("compiling fused bwd...", flush=True)
-    t0 = time.time()
-    g = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))
-    jax.device_get(g(x, w))
-    print(f"  fused bwd compiled+ran in {time.time()-t0:.1f}s", flush=True)
+    # correctness vs XLA, diffs computed ON DEVICE (scalar fetches only)
+    @jax.jit
+    def grad_diff(x, w):
+        gx, gw = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+        return (jnp.abs(gx.astype(jnp.float32) - rx.astype(jnp.float32)).max(),
+                jnp.abs(gw - rw).max())
 
-    # correctness vs XLA on-device
-    import numpy as np
-    gx, gw = jax.device_get(g(x, w))
-    rx, rw = jax.device_get(jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(x, w))
-    print("  grad diff dx:", float(np.abs(np.asarray(gx, np.float32) - np.asarray(rx, np.float32)).max()),
-          "dw:", float(np.abs(gw - rw).max()), flush=True)
+    print("compiling fused+xla bwd...", flush=True)
+    t0 = time.time()
+    ddx, ddw = jax.device_get(grad_diff(x, w))
+    print(f"  bwd compiled+ran in {time.time()-t0:.1f}s; "
+          f"grad diff dx: {float(ddx)} dw: {float(ddw)}", flush=True)
 
     t_f = timed(lambda c: dw_conv3x3_fused(c, w), x)
     t_xf = timed(lambda c: _dw_fwd_raw(c, w), x)
@@ -84,12 +87,15 @@ def micro_s2():
         return jnp.sum(_dw2_fwd_raw(x, w).astype(jnp.float32)
                        * dy.astype(jnp.float32))
 
-    import numpy as np
-    gx, gw = jax.device_get(jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(x, w))
-    rx, rw = jax.device_get(jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(x, w))
-    print("  s2 grad diff dx:",
-          float(np.abs(np.asarray(gx, np.float32) - np.asarray(rx, np.float32)).max()),
-          "dw:", float(np.abs(gw - rw).max()), flush=True)
+    @jax.jit
+    def grad_diff(x, w):
+        gx, gw = jax.grad(loss_fused, argnums=(0, 1))(x, w)
+        rx, rw = jax.grad(loss_xla, argnums=(0, 1))(x, w)
+        return (jnp.abs(gx.astype(jnp.float32) - rx.astype(jnp.float32)).max(),
+                jnp.abs(gw - rw).max())
+
+    ddx, ddw = jax.device_get(grad_diff(x, w))
+    print(f"  s2 grad diff dx: {float(ddx)} dw: {float(ddw)}", flush=True)
     t_f = timed(lambda c: dw_conv3x3s2_fused(c, w), x)
     t_xf = timed(lambda c: _dw2_fwd_raw(c, w), x)
     print(f"  s2 fwd: fused {t_f*1e3:.2f} ms vs XLA {t_xf*1e3:.2f} ms", flush=True)
