@@ -266,12 +266,19 @@ def bench_data_pipeline(n: int = 256) -> dict:
     from cream_tpu.data.transforms import (eval_preprocess_config,
                                            preprocess_pil)
 
+    # n DISTINCT jpegs with ImageNet-val-like size variance (not n copies of
+    # one buffer, which is cache-resident and hides per-image costs).
     rng = np.random.default_rng(0)
-    small = rng.integers(0, 256, (31, 41, 3), dtype=np.uint8)
-    arr = np.asarray(Image.fromarray(small).resize((500, 375), Image.BICUBIC))
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, "JPEG", quality=90)
-    bufs = [buf.getvalue()] * n
+    sizes = [(500, 375), (500, 333), (375, 500), (640, 480), (500, 400),
+             (600, 450), (333, 500), (500, 281)]
+    bufs = []
+    for i in range(n):
+        w, h = sizes[i % len(sizes)]
+        small = rng.integers(0, 256, (h // 12, w // 12, 3), dtype=np.uint8)
+        arr = np.asarray(Image.fromarray(small).resize((w, h), Image.BICUBIC))
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, "JPEG", quality=90)
+        bufs.append(b.getvalue())
     cfg = eval_preprocess_config(224)
 
     out = {"unit": "img/s (host eval preprocess)", "batch": n}

@@ -28,6 +28,25 @@ _TRIED = False
 _FILTERS = {"bilinear": 1, "bicubic": 2}
 
 
+def _maybe_build(path: str) -> None:
+    """(Re)build the .so when missing or older than its source. The .so is
+    gitignored, so a fresh checkout — or an edit to image_pipe.cc — would
+    otherwise silently run a stale/absent library (round 3's loader bench
+    regression was exactly a stale build)."""
+    src = os.path.join(os.path.dirname(path), "image_pipe.cc")
+    if not os.path.exists(src):
+        return  # installed layout without sources: use whatever .so is there
+    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(src):
+        return
+    import subprocess
+    try:
+        subprocess.run(["make", "-C", os.path.dirname(path),
+                        "libimage_pipe.so"], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        pass  # fall through: CDLL below reports unavailability
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -37,8 +56,10 @@ def _load():
         "CREAM_TPU_IMAGE_PIPE",
         os.path.join(os.path.dirname(__file__), "..", "..", "native",
                      "libimage_pipe.so"))
+    path = os.path.abspath(path)
+    _maybe_build(path)
     try:
-        lib = ctypes.CDLL(os.path.abspath(path))
+        lib = ctypes.CDLL(path)
     except OSError:
         return None
     lib.ip_sizes.restype = ctypes.c_int

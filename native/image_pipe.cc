@@ -138,6 +138,7 @@ Coeffs precompute(int in0, int in1, int in_size, int out, int filter) {
   c.ksize = ksize;
   c.bounds.resize(static_cast<size_t>(out) * 2);
   c.values.assign(static_cast<size_t>(out) * ksize, 0.0f);
+  std::vector<double> k(ksize);  // hoisted: one alloc per axis, not per pixel
   for (int xx = 0; xx < out; ++xx) {
     double center = in0 + (xx + 0.5) * scale;
     int xmin = static_cast<int>(center - support + 0.5);
@@ -146,7 +147,6 @@ Coeffs precompute(int in0, int in1, int in_size, int out, int filter) {
     if (xmax > in_size) xmax = in_size;
     xmax -= xmin;
     double ss = 1.0 / filterscale;
-    std::vector<double> k(xmax);
     double wsum = 0.0;
     for (int x = 0; x < xmax; ++x) {
       double wgt = (filter == 1 ? bilinear((x + xmin - center + 0.5) * ss)
@@ -163,46 +163,72 @@ Coeffs precompute(int in0, int in1, int in_size, int out, int filter) {
   return c;
 }
 
+// 4-wide float vector (gcc/clang extension; lowers to SSE/NEON). Loads are
+// done with memcpy so alignment never matters.
+typedef float v4f __attribute__((vector_size(16)));
+
+// Per-worker scratch so the hot path never re-allocates between images.
+struct Scratch {
+  std::vector<float> tmp;   // horizontal-pass output rows
+  std::vector<float> frow;  // one source row expanded u8 -> fp32 (padded)
+};
+
 // Resample the box (bx0..bx1, by0..by1) of src (W x H RGB8) to rw x rh fp32.
+// The horizontal pass expands each source row to fp32 once, then accumulates
+// RGB(+1 slack lane) per tap with a single 4-wide FMA — bit-identical to the
+// scalar r/g/b form but ~3x faster; the per-thread deficit vs Pillow's
+// fixed-point SIMD resampler was the round-3 loader loss.
 void resample(const uint8_t* src, int W, int H, int bx0, int bx1, int by0,
-              int by1, int rw, int rh, int filter, std::vector<float>& out) {
+              int by1, int rw, int rh, int filter, Scratch& ws,
+              std::vector<float>& out) {
   Coeffs ch = precompute(bx0, bx1, W, rw, filter);
   Coeffs cv = precompute(by0, by1, H, rh, filter);
   // horizontal pass over the rows the vertical pass needs
   int ymin = cv.bounds[0];
   int ymax = cv.bounds[2 * (rh - 1)] + cv.bounds[2 * (rh - 1) + 1];
   int nrows = ymax - ymin;
-  std::vector<float> tmp(static_cast<size_t>(nrows) * rw * 3);
+  ws.tmp.resize(static_cast<size_t>(nrows) * rw * 3);
+  // +8 pad: the v4f load at the last tap of the last pixel reads one float
+  // past 3*W.
+  ws.frow.assign(static_cast<size_t>(W) * 3 + 8, 0.0f);
+  float* frow = ws.frow.data();
   for (int y = 0; y < nrows; ++y) {
     const uint8_t* srow = src + static_cast<size_t>(y + ymin) * W * 3;
-    float* trow = tmp.data() + static_cast<size_t>(y) * rw * 3;
+    for (int i = 0; i < W * 3; ++i) frow[i] = srow[i];
+    float* trow = ws.tmp.data() + static_cast<size_t>(y) * rw * 3;
     for (int xx = 0; xx < rw; ++xx) {
       int xmin = ch.bounds[2 * xx], cnt = ch.bounds[2 * xx + 1];
       const float* k = &ch.values[static_cast<size_t>(xx) * ch.ksize];
-      float r = 0, g = 0, b = 0;
+      const float* p = frow + static_cast<size_t>(xmin) * 3;
+      v4f acc = {0.0f, 0.0f, 0.0f, 0.0f};
       for (int x = 0; x < cnt; ++x) {
-        const uint8_t* p = srow + static_cast<size_t>(xmin + x) * 3;
-        r += k[x] * p[0];
-        g += k[x] * p[1];
-        b += k[x] * p[2];
+        v4f px;
+        std::memcpy(&px, p + 3 * x, sizeof(px));
+        acc += k[x] * px;
       }
-      trow[3 * xx] = r;
-      trow[3 * xx + 1] = g;
-      trow[3 * xx + 2] = b;
+      trow[3 * xx] = acc[0];
+      trow[3 * xx + 1] = acc[1];
+      trow[3 * xx + 2] = acc[2];
     }
   }
-  // vertical pass
+  // vertical pass (contiguous rows: autovectorizes; first tap assigns so the
+  // zero-fill pass over out is skipped)
   out.resize(static_cast<size_t>(rh) * rw * 3);
   for (int yy = 0; yy < rh; ++yy) {
     int smin = cv.bounds[2 * yy] - ymin, cnt = cv.bounds[2 * yy + 1];
     const float* k = &cv.values[static_cast<size_t>(yy) * cv.ksize];
     float* orow = out.data() + static_cast<size_t>(yy) * rw * 3;
-    std::fill(orow, orow + static_cast<size_t>(rw) * 3, 0.0f);
     for (int y = 0; y < cnt; ++y) {
-      const float* trow = tmp.data() + static_cast<size_t>(smin + y) * rw * 3;
+      const float* trow =
+          ws.tmp.data() + static_cast<size_t>(smin + y) * rw * 3;
       float kv = k[y];
-      for (int x = 0; x < rw * 3; ++x) orow[x] += kv * trow[x];
+      if (y == 0) {
+        for (int x = 0; x < rw * 3; ++x) orow[x] = kv * trow[x];
+      } else {
+        for (int x = 0; x < rw * 3; ++x) orow[x] += kv * trow[x];
+      }
     }
+    if (cnt == 0) std::fill(orow, orow + static_cast<size_t>(rw) * 3, 0.0f);
   }
 }
 
@@ -263,6 +289,7 @@ int ip_batch(const uint8_t* const* bufs, const int64_t* lens, int n,
   auto worker = [&]() {
     std::vector<uint8_t> rgb;
     std::vector<float> res;
+    Scratch ws;
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
@@ -305,7 +332,7 @@ int ip_batch(const uint8_t* const* bufs, const int64_t* lens, int n,
         std::memset(dst, 0, sizeof(float) * out_h * out_w * 3);
         continue;
       }
-      resample(rgb.data(), W, H, bx0, bx1, by0, by1, rw, rh, filter, res);
+      resample(rgb.data(), W, H, bx0, bx1, by0, by1, rw, rh, filter, ws, res);
       const float inv255 = 1.0f / 255.0f;
       float m0 = mean[0], m1 = mean[1], m2 = mean[2];
       float s0 = 1.0f / stdv[0], s1 = 1.0f / stdv[1], s2 = 1.0f / stdv[2];
