@@ -26,14 +26,16 @@ Dtype = Any
 
 
 class _DWConv3x3(nn.Module):
-    """Depthwise 3x3 conv (stride 1 or 2, pad 1) via ops.dwconv's fused
-    Pallas kernels with XLA fallback.
+    """Depthwise 3x3 conv (stride 1 or 2, pad 1) via ops.dwconv's Pallas
+    kernel variants ("wgrad" = XLA fwd/dx + Pallas weight-grad; True = fully
+    fused) with XLA fallback.
 
     Param tree ("kernel", HWIO (3, 3, 1, C), lecun_normal) matches nn.Conv
     with feature_group_count=C exactly, so checkpoints are interchangeable
     with the plain path."""
     features: int
     stride: int = 1
+    mode: Any = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -42,23 +44,26 @@ class _DWConv3x3(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, 1, self.features), jnp.float32)
         fn = dw_conv3x3_auto if self.stride == 1 else dw_conv3x3s2_auto
-        return fn(x.astype(self.dtype), kernel.astype(self.dtype))
+        return fn(x.astype(self.dtype), kernel.astype(self.dtype),
+                  mode=self.mode)
 
 
 class ConvBN(nn.Module):
     """Conv2d(bias=False) + BatchNorm, NHWC. `groups=features` gives depthwise.
 
-    `dw_vjp=True` routes a depthwise-3x3-stride-1 conv through the fused
-    Pallas fwd/bwd (TPU) in ops/dwconv.py — conv-emitter-free graphs, batch-
-    contraction-free gradients; None defers to ops.dwconv.DEFAULT_DW_VJP
-    (the measured global verdict); see that module's docstring."""
+    `dw_vjp` routes a depthwise-3x3 conv through ops/dwconv.py's Pallas
+    variants: "wgrad" keeps the XLA fwd/dx convs and swaps ONLY the weight
+    gradient (the batch-group conv that drags batch-minor layouts through the
+    stem) for a Pallas one-pass kernel; True is the fully-fused fwd+bwd
+    (measured full-train-step LOSER, kept for experiments); None defers to
+    ops.dwconv.DEFAULT_DW_VJP (the measured global verdict)."""
     features: int
     kernel_size: int = 1
     stride: int = 1
     padding: int = 0
     groups: int = 1
     bn_weight_init: float = 1.0
-    dw_vjp: bool | None = None
+    dw_vjp: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -69,7 +74,7 @@ class ConvBN(nn.Module):
         if (use_dw and x.shape[-1] == self.features
                 and is_dw3x3_any(k, self.stride, self.padding, self.groups,
                                  self.features)):
-            x = _DWConv3x3(self.features, stride=self.stride,
+            x = _DWConv3x3(self.features, stride=self.stride, mode=use_dw,
                            dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(self.features, (k, k),

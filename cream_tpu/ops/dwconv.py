@@ -65,25 +65,31 @@ def _fwd(x, w):
     return _dw_fwd_raw(x, w), (x, w)
 
 
-def _bwd(res, dy):
-    x, w = res
-    _, H, W, _ = x.shape
-    # dx: correlate dy with the flipped taps — again a plain depthwise conv,
-    # no batch contraction anywhere.
+def _dx_xla(dy, w):
+    """dx as a plain depthwise conv of dy with the flipped taps — the same op
+    class as the forward, so the same good layout; no batch contraction."""
     w_flip = jnp.flip(w, axis=(0, 1))
-    dx = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         dy, w_flip.astype(dy.dtype), window_strides=(1, 1),
         padding=((1, 1), (1, 1)), dimension_numbers=_DIMNUMS,
         feature_group_count=dy.shape[-1])
-    # dw: nine shifted mul-reduces over (B, H, W), fp32 accumulation.
+
+
+def _dw_9shift(x, dy):
+    """dw as nine shifted mul-reduces over (B, H, W), fp32 accumulation."""
+    _, H, W, _ = x.shape
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     taps = [
         jnp.sum(xp[:, kh:kh + H, kw:kw + W, :].astype(jnp.float32)
                 * dy.astype(jnp.float32), axis=(0, 1, 2))
         for kh in range(3) for kw in range(3)
     ]
-    dw = jnp.stack(taps).reshape(3, 3, 1, x.shape[-1]).astype(w.dtype)
-    return dx, dw
+    return jnp.stack(taps).reshape(3, 3, 1, x.shape[-1])
+
+
+def _bwd(res, dy):
+    x, w = res
+    return _dx_xla(dy, w), _dw_9shift(x, dy).astype(w.dtype)
 
 
 dw_conv3x3.defvjp(_fwd, _bwd)
@@ -312,12 +318,169 @@ def _fused_bwd(interpret, res, dy):
 dw_conv3x3_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def dw_conv3x3_auto(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Product routing for ConvBN.dw_vjp: the fused Pallas fwd+bwd on TPU
-    (where the layout firewall pays), the plain XLA conv elsewhere — off-TPU
-    there is no layout problem and the 9-shift XLA bwd measured slower."""
+# ---------------------------------------------------------------------------
+# Mixed VJP ("wgrad" mode): forward and dx stay XLA convs (the op class that
+# fuses with the surrounding BN/GELU and picks good layouts); ONLY the weight
+# gradient — the batch-group conv whose InputBatchInSublanes emitter drags
+# batch-minor layouts through the stem — is a Pallas one-pass kernel.
+# MEASURED (v5e, round 4): the full fused fwd+bwd ("True" mode) LOSES the
+# full-train-step A/B 1,213 vs 1,701 img/s (TinyViT-21M bs256) because the
+# Pallas fwd breaks XLA's conv+BN+GELU fusions; this surgical form exists to
+# keep those fusions and still kill the wgrad layout poison.
+# ---------------------------------------------------------------------------
+
+def _wgrad_kernel(x_ref, dy_ref, dw_ref):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    x = x_ref[0]
+    d = dy_ref[0]
+    H, _, C = x.shape
+    taps = [jnp.zeros((1, C), jnp.float32) for _ in range(9)]
+    for r0 in range(0, H, _HCHUNK):
+        r1 = min(r0 + _HCHUNK, H)
+        dch = d[r0:r1].astype(jnp.float32)
+        for kh in range(3):
+            xs_rows = _hrows(x, kh - 1, r0, r1).astype(jnp.float32)
+            for kw in range(3):
+                xs = _wshift(xs_rows, kw - 1)
+                taps[3 * kh + kw] = taps[3 * kh + kw] + jnp.sum(
+                    xs * dch, axis=(0, 1))[None, :]
+    dw_ref[...] += jnp.concatenate(taps + [jnp.zeros((7, C), jnp.float32)],
+                                   axis=0)
+
+
+def _pallas_wgrad(x, dy, interpret=False):
+    B, H, W, C = x.shape
+    cb = _cblock(H, W, C)
+    dw16 = pl.pallas_call(
+        _wgrad_kernel,
+        grid=(C // cb, B),
+        in_specs=[
+            pl.BlockSpec((1, H, W, cb), lambda c, b: (b, 0, 0, c)),
+            pl.BlockSpec((1, H, W, cb), lambda c, b: (b, 0, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((16, cb), lambda c, b: (0, c)),
+        out_shape=jax.ShapeDtypeStruct((16, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, dy)
+    return dw16[:9]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dw_conv3x3_wg(x: jnp.ndarray, w: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Depthwise 3x3 s1 p1 conv: XLA fwd + XLA dx, Pallas wgrad only."""
+    return _dw_fwd_raw(x, w)
+
+
+def _wg_fwd(x, w, interpret):
+    return _dw_fwd_raw(x, w), (x, w)
+
+
+def _wg_bwd(interpret, res, dy):
+    x, w = res
+    dx = _dx_xla(dy, w)
+    if (interpret or _on_tpu()) and supports_fused(x.shape, interpret):
+        dw9 = _pallas_wgrad(x, dy, interpret)
+        dw = dw9.reshape(3, 3, 1, x.shape[-1]).astype(w.dtype)
+    else:
+        dw = _dw_9shift(x, dy).astype(w.dtype)
+    return dx, dw
+
+
+dw_conv3x3_wg.defvjp(_wg_fwd, _wg_bwd)
+
+
+def _wgrad2_kernel(xee_ref, xeo_ref, xoe_ref, xoo_ref, dy_ref, dw_ref):
+    b = pl.program_id(1)
+
+    @pl.when(b == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    phases = (xee_ref[0], xeo_ref[0], xoe_ref[0], xoo_ref[0])
+    d = dy_ref[0]
+    Ho, _, C = d.shape
+    taps = [jnp.zeros((1, C), jnp.float32) for _ in range(9)]
+    for r0 in range(0, Ho, _HCHUNK):
+        r1 = min(r0 + _HCHUNK, Ho)
+        dch = d[r0:r1].astype(jnp.float32)
+        for kh in range(3):
+            wvar = _tap_rows(phases, kh, r0, r1)
+            for kw in range(3):
+                taps[3 * kh + kw] = taps[3 * kh + kw] + jnp.sum(
+                    wvar[kw] * dch, axis=(0, 1))[None, :]
+    dw_ref[...] += jnp.concatenate(taps + [jnp.zeros((7, C), jnp.float32)],
+                                   axis=0)
+
+
+def _pallas_wgrad2(x, dy, interpret=False):
+    B, H, W, C = x.shape
+    Ho, Wo = H // 2, W // 2
+    cb = _cblock(Ho, Wo, C)
+    phases = _phase_split(x)
+    dw16 = pl.pallas_call(
+        _wgrad2_kernel,
+        grid=(C // cb, B),
+        in_specs=_phase_specs(B, Ho, Wo, cb, 5),
+        out_specs=pl.BlockSpec((16, cb), lambda c, b: (0, c)),
+        out_shape=jax.ShapeDtypeStruct((16, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(*phases, dy)
+    return dw16[:9]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dw_conv3x3s2_wg(x: jnp.ndarray, w: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Depthwise 3x3 STRIDE-2 pad-1 conv: XLA fwd + XLA dx, Pallas wgrad."""
+    return _dw2_fwd_raw(x, w)
+
+
+def _wg2_fwd(x, w, interpret):
+    return _dw2_fwd_raw(x, w), (x, w)
+
+
+def _wg2_bwd(interpret, res, dy):
+    x, w = res
+    # dx: XLA's own transpose of the strided conv (input-dilated conv — no
+    # batch contraction), computed alone so the unwanted wgrad conv is DCE'd.
+    _, dx_vjp = jax.vjp(lambda x_: _dw2_fwd_raw(x_, w), x)
+    (dx,) = dx_vjp(dy)
+    if (interpret or _on_tpu()) and supports_fused_s2(x.shape):
+        dw9 = _pallas_wgrad2(x, dy, interpret)
+        dw = dw9.reshape(3, 3, 1, x.shape[-1]).astype(w.dtype)
+    else:
+        _, w_vjp = jax.vjp(lambda w_: _dw2_fwd_raw(x, w_), w)
+        (dw,) = w_vjp(dy)
+    return dx, dw
+
+
+dw_conv3x3s2_wg.defvjp(_wg2_fwd, _wg2_bwd)
+
+
+def dw_conv3x3_auto(x: jnp.ndarray, w: jnp.ndarray,
+                    mode=None) -> jnp.ndarray:
+    """Product routing for ConvBN.dw_vjp: the mode selects the variant —
+    False = plain XLA conv; "wgrad" = XLA fwd/dx + Pallas wgrad (the measured
+    winner's candidate); True = fully-fused Pallas fwd+bwd (measured LOSER in
+    the full train step — kept for experiments). None defers to
+    DEFAULT_DW_VJP."""
+    if mode is None:
+        mode = DEFAULT_DW_VJP
     if _on_tpu() and supports_fused(x.shape):
-        return dw_conv3x3_fused(x, w)
+        if mode == "wgrad":
+            return dw_conv3x3_wg(x, w)
+        if mode:
+            return dw_conv3x3_fused(x, w)
     return _dw_fwd_raw(x, w)
 
 
@@ -503,7 +666,13 @@ def _fused2_bwd(interpret, res, dy):
 dw_conv3x3s2_fused.defvjp(_fused2_fwd, _fused2_bwd)
 
 
-def dw_conv3x3s2_auto(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def dw_conv3x3s2_auto(x: jnp.ndarray, w: jnp.ndarray,
+                      mode=None) -> jnp.ndarray:
+    if mode is None:
+        mode = DEFAULT_DW_VJP
     if _on_tpu() and supports_fused_s2(x.shape):
-        return dw_conv3x3s2_fused(x, w)
+        if mode == "wgrad":
+            return dw_conv3x3s2_wg(x, w)
+        if mode:
+            return dw_conv3x3s2_fused(x, w)
     return _dw2_fwd_raw(x, w)

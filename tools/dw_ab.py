@@ -105,10 +105,38 @@ def micro_s2():
           flush=True)
 
 
-def full():
+def micro_wgrad():
+    """Isolated weight-grad only: Pallas one-pass vs XLA's batch-group conv."""
+    from cream_tpu.ops.dwconv import _dw_fwd_raw, _pallas_wgrad
+    B, H, W, C = STAGE0
+    kx, kw, kd = jax.random.split(jax.random.key(0), 3)
+    x = jax.random.normal(kx, (B, H, W, C), jnp.bfloat16)
+    w = jax.random.normal(kw, (3, 3, 1, C), jnp.float32)
+    dy = jax.random.normal(kd, (B, H, W, C), jnp.bfloat16)
+
+    def xla_wgrad(x, dy):
+        _, vjp = jax.vjp(lambda w_: _dw_fwd_raw(x, w_), w)
+        return vjp(dy)[0]
+
+    @jax.jit
+    def diff(x, dy):
+        a = _pallas_wgrad(x, dy).reshape(3, 3, 1, C)
+        b = xla_wgrad(x, dy)
+        return jnp.abs(a - b).max(), jnp.abs(b).max()
+
+    d, m = jax.device_get(diff(x, dy))
+    print(f"  wgrad diff {float(d)} (ref max {float(m)})", flush=True)
+    # reduce to a scalar so the timing carry (x-shaped) can absorb the output
+    t_p = timed(lambda c: _pallas_wgrad(c, dy).sum(), x)
+    t_x = timed(lambda c: xla_wgrad(c, dy).sum(), x)
+    print(f"  wgrad: pallas {t_p*1e3:.2f} ms vs XLA batch-group {t_x*1e3:.2f} ms",
+          flush=True)
+
+
+def full(modes=(False, "wgrad")):
     import bench
     import cream_tpu.ops.dwconv as dw
-    for flag in (False, True):
+    for flag in modes:
         dw.DEFAULT_DW_VJP = flag
         t0 = time.time()
         r = bench.bench_train_step("tiny_vit_21m_224", 256)
@@ -117,7 +145,9 @@ def full():
 
 
 if __name__ == "__main__":
-    if "full" in sys.argv:
+    if "wgrad" in sys.argv:
+        micro_wgrad()
+    elif "full" in sys.argv:
         full()
     elif "s2" in sys.argv:
         micro_s2()
