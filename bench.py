@@ -70,28 +70,78 @@ def chip_hbm_bw() -> float:
     return _chip_lookup(HBM_BW, 819e9)
 
 
-def roofline(flops: float, bytes_accessed: float, ips: float, batch: int
-             ) -> dict | None:
-    """%-of-roofline: the model's own floor is max(MXU time, HBM time) from
-    the compiled HLO cost analysis (flops / chip peak vs bytes accessed /
-    HBM bandwidth) — the BASELINE.json '>=90% of roofline' target measures
-    against THIS, not against raw chip peak (MFU).
+_MEASURED_BW: float | None = None
 
-    Caveat on the HBM leg: XLA's 'bytes accessed' sums each op's logical
-    operand/result bytes AFTER fusion but still double-counts buffers that
-    several consumers read while resident, so t_hbm overestimates true HBM
-    traffic and pct_of_roofline can exceed 1.0 on bandwidth-light models
-    (observed on EfficientViT M0/M5). Read it as a conservative lower bound
-    on headroom; the mxu leg is exact. Both legs ship for attribution."""
+
+def measured_hbm_bw() -> float:
+    """Achievable HBM bandwidth (bytes/s) from an on-device copy probe: a
+    chained scalar-multiply over a 128MB bf16 buffer (read + write per
+    iteration, data-dependent carry so every pass executes). Spec bandwidth
+    is not achievable in practice; the roofline floor uses this measured
+    ceiling so the floor stays meaningful. Cached per process; falls back to
+    the spec number if the probe fails (e.g. CPU backend)."""
+    global _MEASURED_BW
+    if _MEASURED_BW is None:
+        try:
+            n = 64 * 1024 * 1024  # 128 MB bf16
+            reps = 20
+            x = jnp.ones((n,), jnp.bfloat16)
+
+            @jax.jit
+            def run(x):
+                def body(c, _):
+                    return c * jnp.bfloat16(1.0000305), None
+                return jax.lax.scan(body, x, None, length=reps)[0][0]
+
+            jax.device_get(run(x))  # compile + warmup
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.device_get(run(x))
+                best = min(best, time.perf_counter() - t0)
+            bw = 2.0 * n * 2 * reps / best
+            # sanity-gate: a probe through a broken tunnel or on a weird
+            # backend should not poison every roofline row
+            _MEASURED_BW = bw if 0.05 * chip_hbm_bw() < bw <= chip_hbm_bw() \
+                else chip_hbm_bw()
+        except Exception:
+            _MEASURED_BW = chip_hbm_bw()
+    return _MEASURED_BW
+
+
+def tree_bytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "dtype"))
+
+
+def roofline(flops: float, bytes_accessed: float, ips: float, batch: int,
+             min_bytes: float | None = None) -> dict | None:
+    """%-of-roofline against a floor that CANNOT exceed the actual time.
+
+    floor = max(MXU leg, HBM leg) where
+      * MXU leg — exact: compiled-HLO flops / chip bf16 peak.
+      * HBM leg — a true traffic lower bound (params + optimizer state +
+        batch I/O, i.e. bytes every implementation must move at least once;
+        inter-layer activation spills are NOT counted) over the MEASURED
+        copy bandwidth (measured_hbm_bw), not spec.
+
+    XLA's 'bytes accessed' (post-fusion logical traffic, double-counts
+    buffers with several consumers — observed pct > 1.0 on EfficientViT
+    M0/M5 in round 3) ships as the t_hbm_xla_est_ms DIAGNOSTIC only; it no
+    longer enters the floor."""
     if not flops or not ips:
         return None
     t_mxu = flops / chip_peak_flops()
-    t_hbm = (bytes_accessed or 0.0) / chip_hbm_bw()
+    t_hbm_est = (bytes_accessed or 0.0) / chip_hbm_bw()
+    t_hbm = (min_bytes or 0.0) / measured_hbm_bw()
     floor = max(t_mxu, t_hbm)
     actual = batch / ips
     return {"floor_ms": round(floor * 1e3, 3),
             "t_mxu_ms": round(t_mxu * 1e3, 3),
-            "t_hbm_est_ms": round(t_hbm * 1e3, 3),
+            "t_hbm_floor_ms": round(t_hbm * 1e3, 3),
+            "t_hbm_xla_est_ms": round(t_hbm_est * 1e3, 3),
+            "hbm_bw_measured_gbs": round(measured_hbm_bw() / 1e9, 1),
             "bound": "mxu" if t_mxu >= t_hbm else "hbm",
             "pct_of_roofline": round(floor / actual, 4)}
 
@@ -167,7 +217,8 @@ def bench_classifier(name: str, batch: int, img: int = 224) -> dict:
     mfu = ips / batch * flops / chip_peak_flops() if flops else None
     out = {"items_per_s": round(ips, 1), "unit": "img/s", "batch": batch,
            "mfu": round(mfu, 4) if mfu else None}
-    rl = roofline(flops, nbytes, ips, batch)
+    rl = roofline(flops, nbytes, ips, batch,
+                  min_bytes=tree_bytes(variables) + x.nbytes)
     if rl:
         out["roofline"] = rl
     return out
@@ -186,7 +237,8 @@ def bench_clip_pair(batch: int = 256) -> dict:
     mfu = ips / batch * flops / chip_peak_flops() if flops else None
     out = {"items_per_s": round(ips, 1), "unit": "pairs/s", "batch": batch,
            "mfu": round(mfu, 4) if mfu else None}
-    rl = roofline(flops, nbytes, ips, batch)
+    rl = roofline(flops, nbytes, ips, batch,
+                  min_bytes=tree_bytes(variables) + img.nbytes + txt.nbytes)
     if rl:
         out["roofline"] = rl
     return out
@@ -245,7 +297,10 @@ def bench_train_step(name: str = "tiny_vit_21m_224", batch: int = 256
            "batch": batch}
     if flops:
         out["mfu"] = round(ips / batch * flops / chip_peak_flops(), 4)
-    rl = roofline(flops, nbytes, ips, batch)
+    # train min traffic: the whole TrainState (params + opt moments + EMA +
+    # batch stats) is read and re-written once per step, plus the batch in.
+    rl = roofline(flops, nbytes, ips, batch,
+                  min_bytes=2 * tree_bytes(state) + x.nbytes)
     if rl:
         out["roofline"] = rl
     return out

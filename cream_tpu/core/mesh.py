@@ -50,12 +50,25 @@ def init_distributed() -> bool:
     init_distributed_mode — AutoFormer/lib/utils.py:209-233,
     TinyCLIP/src/training/distributed.py:23-110; SURVEY.md §5). Call BEFORE
     any other jax use on pods; a no-op single-host. Returns True when
-    running multi-process."""
+    running multi-process.
+
+    On Cloud TPU pods initialize() auto-detects everything from the TPU
+    metadata; elsewhere (the reference's torchrun-style env bring-up,
+    TinyCLIP/src/training/distributed.py:52-63) the process geometry comes
+    from JAX_NUM_PROCESSES / JAX_PROCESS_ID next to the coordinator address
+    — tests/test_multihost.py exercises this path for real with two CPU
+    processes."""
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if addr:
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None)
     return jax.process_count() > 1
 
 
