@@ -62,6 +62,12 @@ def main(argv=None):
     ap.add_argument("--coco-img-dir", default=None)
     ap.add_argument("--coco-ann", default=None)
     ap.add_argument("--model", default="retinanet_efficientvit_m0")
+    ap.add_argument("--backbone", default=None,
+                    help="NAS-searched backbone instead of --model: a "
+                         "released Cream name (cream_14..cream_604), a JSON "
+                         "file with a flat/per-stage Cream arch, or "
+                         "'cdarts:<cells.json>' with per-group genotypes — "
+                         "the CDARTS_detection composition")
     ap.add_argument("--canvas", type=int, default=512)
     ap.add_argument("--resize", type=int, default=480)
     ap.add_argument("--batch-size", type=int, default=4)
@@ -76,7 +82,21 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
-    model = create_model(args.model, num_classes=args.num_classes)
+    if args.backbone:
+        if args.backbone.startswith("cdarts:"):
+            with open(args.backbone.split(":", 1)[1]) as f:
+                model = create_model("retinanet_cdarts",
+                                     genotypes=json.load(f),
+                                     num_classes=args.num_classes)
+        elif args.backbone.endswith(".json"):
+            with open(args.backbone) as f:
+                model = create_model("retinanet_cream", arch=json.load(f),
+                                     num_classes=args.num_classes)
+        else:
+            model = create_model("retinanet_cream", arch=args.backbone,
+                                 num_classes=args.num_classes)
+    else:
+        model = create_model(args.model, num_classes=args.num_classes)
     anchors = jnp.asarray(retina_anchors(args.canvas))
     level_sizes = anchors_per_level(args.canvas)
 

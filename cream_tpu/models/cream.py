@@ -221,10 +221,11 @@ class CreamChildNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *, pyramid: bool = False):
         x = ConvBN(self.stem_chs, 3, 2, 1, dtype=self.dtype, name="conv_stem")(x, train)
         x = swish(x)
         x = DepthwiseSeparable(16, dtype=self.dtype, name="blocks_0")(x, train)
+        feats = []
         for s, (chs, _, stride) in enumerate(self.stages):
             single = len(self.arch[s]) == 1 and self.released_quirk
             for i, op in enumerate(self.arch[s]):
@@ -232,13 +233,24 @@ class CreamChildNet(nn.Module):
                 x = InvertedResidual(chs, k, e, stride if i == 0 else 1,
                                      dtype=self.dtype,
                                      name=f"stage_{s}_layer_{i}")(x, train)
+            if s in (1, 3):          # stride-8 and stride-16 stage ends
+                feats.append(x)
         x = ConvBN(320, 1, dtype=self.dtype, name="blocks_tail")(x, train)
         x = swish(x)
+        if pyramid:
+            return (*feats, x)       # strides (8, 16, 32)
         x = x.mean(axis=(1, 2), keepdims=True)
         x = nn.Conv(self.num_features, (1, 1), use_bias=True, dtype=self.dtype,
                     name="conv_head")(x)
         x = swish(x).reshape(x.shape[0], -1)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(x)
+
+    def forward_pyramid(self, x, train: bool = False) -> tuple:
+        """C3/C4/C5 features (strides 8/16/32) — the detection-backbone
+        contract the reference's CDARTS_detection provides for NAS-found
+        mobile backbones (mmdet/models/backbones/, e.g. fbnet.py /
+        mobilenetv3.py return per-stride stage features into FPN)."""
+        return self(x, train, pyramid=True)
 
 
 def nest_arch(arch, stages=SEARCH_STAGES) -> tuple:

@@ -402,7 +402,7 @@ class CDARTSRetrain(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, *, pyramid: bool = False):
         reductions, cell_nums, reduction_p = cdarts_retrain_plan(
             self.model_type, self.res_stem)
         C0 = self.init_channels * self.stem_multiplier
@@ -424,6 +424,7 @@ class CDARTSRetrain(nn.Module):
             s1 = ConvBN(C0, 3, 2, 1, dtype=self.dtype, name="stem1")(h, train)
 
         c_cur = self.init_channels
+        feats = [s1]                 # stem output (stride 8 imagenet stem)
         for li, genotype in enumerate(self.genotypes):
             reduction_cur = reductions[li]
             cell_num = cell_nums[li]
@@ -445,9 +446,25 @@ class CDARTSRetrain(nn.Module):
                 c_cur *= 2
             if self.res_stem:
                 reduction_p = False
+            feats.append(s1)
+
+        if pyramid:
+            # last feature at each of the three largest distinct strides
+            # (imagenet stem: stem /8, group0 /16, groups1-2 /32)
+            by_stride: dict[int, jnp.ndarray] = {}
+            for f in feats:
+                by_stride[f.shape[1]] = f
+            sizes = sorted(by_stride, reverse=True)[:3]
+            return tuple(by_stride[s] for s in sizes)
 
         x = s1.mean(axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
+
+    def forward_pyramid(self, x, train: bool = False) -> tuple:
+        """Three coarsest-stride features for detection necks (the
+        CDARTS_detection downstream contract — NAS backbones feeding mmdet
+        FPN+RetinaNet, CDARTS/CDARTS_detection/mmdet/models/backbones/)."""
+        return self(x, train, pyramid=True)
 
 
 @register_model

@@ -246,13 +246,18 @@ class RetinaNet(nn.Module):
     backbone: nn.Module
     num_classes: int = 80
     fpn_channels: int = 256
+    # 1 for stride-16/32/64 backbones (EfficientViT: transposed conv adds the
+    # stride-8 level); 0 for stride-8/16/32 backbones (Cream/DARTS: max-pool
+    # extends the top instead) — both yield P3..P7 at RETINA_STRIDES.
+    fpn_extra_trans: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> tuple:
         feats = self.backbone.forward_pyramid(images, train)
-        feats = EfficientViTFPN(self.fpn_channels, dtype=self.dtype,
-                                name="neck")(feats)
+        feats = EfficientViTFPN(self.fpn_channels,
+                                num_extra_trans_convs=self.fpn_extra_trans,
+                                dtype=self.dtype, name="neck")(feats)
         return RetinaHead(self.num_classes, self.fpn_channels,
                           dtype=self.dtype, name="bbox_head")(feats)
 
@@ -344,3 +349,42 @@ def retinanet_efficientvit_m0(num_classes: int = 80, dtype=jnp.float32, **kw):
     from cream_tpu.models.efficientvit import _CONFIGS, EfficientViT
     bb = EfficientViT(num_classes=0, dtype=dtype, **_CONFIGS["efficientvit_m0"])
     return RetinaNet(backbone=bb, num_classes=num_classes, dtype=dtype, **kw)
+
+
+@register_model(name="retinanet_cream")
+def retinanet_cream(arch="cream_604", num_classes: int = 80,
+                    dtype=jnp.float32, **kw):
+    """RetinaNet over a Cream-searched childnet backbone — the composition
+    the reference provides as CDARTS_detection (NAS mobile backbones into
+    mmdet FPN+RetinaNet, CDARTS/CDARTS_detection/mmdet/models/backbones/).
+    `arch`: a released name (cream_14..604), per-stage choice tuples, or the
+    flat supernet form straight out of evolution/cream search."""
+    from cream_tpu.models.cream import (RELEASED_CHILDNETS, CreamChildNet,
+                                        nest_arch)
+    released = isinstance(arch, str)
+    if released:
+        arch = RELEASED_CHILDNETS[arch]
+    else:
+        arch = tuple(arch)
+        if arch and not isinstance(arch[0], (tuple, list)):
+            arch = nest_arch(arch)
+        arch = tuple(tuple(s) for s in arch)
+    bb = CreamChildNet(arch=arch, released_quirk=released, dtype=dtype)
+    return RetinaNet(backbone=bb, num_classes=num_classes,
+                     fpn_extra_trans=0, dtype=dtype, **kw)
+
+
+@register_model(name="retinanet_cdarts")
+def retinanet_cdarts(genotypes, num_classes: int = 80, dtype=jnp.float32,
+                     init_channels: int = 48, **kw):
+    """RetinaNet over a CDARTS retrain backbone (per-group genotypes as in
+    cdarts_retrain_imagenet / cells/*.json)."""
+    from cream_tpu.models.darts import CDARTSRetrain, genotype_from_str
+    if isinstance(genotypes, dict):
+        genotypes = [genotypes[k] for k in sorted(genotypes, key=int)]
+    genotypes = tuple(genotype_from_str(g) if isinstance(g, str) else g
+                      for g in genotypes)
+    bb = CDARTSRetrain(genotypes=genotypes, model_type="imagenet",
+                       init_channels=init_channels, dtype=dtype)
+    return RetinaNet(backbone=bb, num_classes=num_classes,
+                     fpn_extra_trans=0, dtype=dtype, **kw)

@@ -296,6 +296,11 @@ def _fwa_bwd(statics, res, dout):
         scratch_shapes=[pltpu.VMEM((heads * NP, KP), jnp.float32),
                         pltpu.VMEM((heads * NP, KP) if stacked else (8, 128),
                                    jnp.float32)],
+        # stage-2 shapes (heads=12, N=196) sit at ~16.7MB of blocks +
+        # scratches + Mosaic stack temps — right at the compiler's 16MB
+        # default scoped-vmem limit (observed to tip over across otherwise
+        # identical compiles). v5e has 128MB of VMEM; give the bwd headroom.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     dbias_p = dbias_st.reshape(heads, NP, KP)[:, :N, :]

@@ -138,3 +138,52 @@ class TestEndToEnd:
         assert np.isfinite(res["history"][-1]["total"])
         for k in ("AP", "AP50", "AR100"):
             assert k in res["metrics"]
+
+
+class TestNASBackbones:
+    """Detection-NAS composition (VERDICT #31 / CDARTS_detection parity):
+    RetinaNet over Cream-searched and DARTS-searched backbones — the
+    reference trains NAS-found mobile backbones on COCO via
+    CDARTS/CDARTS_detection/mmdet/models/backbones/."""
+
+    def _fwd(self, model, size=64):
+        x = jnp.zeros((1, size, size, 3), jnp.float32)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.key(0), x, train=False)
+        cls, reg = jax.jit(
+            lambda v, x: model.apply(v, x, train=False))(variables, x)
+        return cls, reg
+
+    def test_cream_backbone_levels(self):
+        from cream_tpu.models import create_model
+        from cream_tpu.models.retinanet import anchors_per_level
+        model = create_model("retinanet_cream", arch="cream_14",
+                             num_classes=6)
+        cls, reg = self._fwd(model)
+        assert cls.shape[-1] == 6 and reg.shape[-1] == 4
+        # anchors over ALL FIVE RETINA_STRIDES levels (8..128)
+        assert cls.shape[1] == sum(anchors_per_level(64))
+
+    def test_cream_flat_supernet_arch(self):
+        # straight out of evolution/cream search: flat -1-padded form
+        from cream_tpu.models import create_model
+        flat = [3, -1, -1, -1, 3, 3, -1, -1, 3, 3, -1, -1, 3, -1, -1, -1,
+                3, 3, -1, -1]
+        model = create_model("retinanet_cream", arch=flat, num_classes=6)
+        cls, _ = self._fwd(model)
+        assert cls.shape[-1] == 6
+
+    def test_cdarts_backbone(self):
+        from cream_tpu.models import create_model
+        g = ("Genotype(normal=[[('sep_conv_3x3', 1), ('skip_connect', 0)],"
+             " [('sep_conv_3x3', 0), ('skip_connect', 2)]],"
+             " normal_concat=range(2, 4),"
+             " reduce=[[('max_pool_3x3', 1), ('avg_pool_3x3', 0)],"
+             " [('max_pool_3x3', 1), ('dil_conv_3x3', 2)]],"
+             " reduce_concat=range(2, 4))")
+        model = create_model("retinanet_cdarts", genotypes=[g, g, g],
+                             num_classes=6, init_channels=8)
+        cls, reg = self._fwd(model)
+        assert cls.shape[-1] == 6 and reg.shape[-1] == 4
+        from cream_tpu.models.retinanet import anchors_per_level
+        assert cls.shape[1] == sum(anchors_per_level(64))
