@@ -6,11 +6,11 @@ is the documented offline protocol (PARITY.md): on any machine with the
 released .pth files,
 
   1. `--dump golden.npz` runs the imported model on a deterministic input
-     battery (seeded synthetic images, plus --image-dir real images if
-     given) and stores logits;
-  2. the same command against the reference PyTorch model (via
-     `--from-torch`, which runs the reference repo's model live) stores the
-     torch-side logits;
+     battery (256 seeded synthetic images — identical bytes on every
+     machine) and stores logits;
+  2. `python tools/golden_torch_side.py --model ... --ckpt ... --out
+     theirs.npz` runs the reference repo's PyTorch model on the SAME
+     battery and stores the torch-side logits (one command per side);
   3. `--compare ours.npz theirs.npz` reports max|diff|, top-1 agreement and
      top-5 overlap.
 
@@ -29,7 +29,7 @@ import argparse
 import numpy as np
 
 
-def battery(n: int = 8, img: int = 224, seed: int = 0) -> np.ndarray:
+def battery(n: int = 256, img: int = 224, seed: int = 0) -> np.ndarray:
     """Deterministic input battery: seeded uniform images in [0, 1),
     ImageNet-normalized — identical bytes on every machine."""
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -84,7 +84,7 @@ def main(argv=None):
     ap.add_argument("--model", default=None)
     ap.add_argument("--torch-ckpt", default=None)
     ap.add_argument("--img", type=int, default=224)
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--dump", default=None, help="output .npz path")
     ap.add_argument("--compare", nargs=2, default=None,
                     metavar=("OURS", "THEIRS"))

@@ -1,6 +1,9 @@
 """TPU A/B: fused Pallas depthwise vs XLA conv — micro + full train step."""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
