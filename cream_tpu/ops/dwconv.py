@@ -323,10 +323,16 @@ dw_conv3x3_fused.defvjp(_fused_fwd, _fused_bwd)
 # fuses with the surrounding BN/GELU and picks good layouts); ONLY the weight
 # gradient — the batch-group conv whose InputBatchInSublanes emitter drags
 # batch-minor layouts through the stem — is a Pallas one-pass kernel.
-# MEASURED (v5e, round 4): the full fused fwd+bwd ("True" mode) LOSES the
-# full-train-step A/B 1,213 vs 1,701 img/s (TinyViT-21M bs256) because the
-# Pallas fwd breaks XLA's conv+BN+GELU fusions; this surgical form exists to
-# keep those fusions and still kill the wgrad layout poison.
+# MEASURED (v5e, round 4, full TinyViT-21M bs256 train-step A/B):
+#   * fully-fused fwd+bwd ("True")  : 1,213 img/s — LOSES (the Pallas fwd
+#     breaks XLA's conv+BN+GELU fusions);
+#   * "wgrad" on stride-1 sites only: 1,293 img/s — LOSES (the one-pass
+#     Pallas wgrad is an extra serial pass over x/dy that costs more than
+#     the batch-group conv's layout poison ever did);
+#   * XLA everywhere (False)        : 1,692 img/s — WINS.
+# The layout-poison hypothesis did not survive the full-graph test: XLA's
+# sibling fusions around the batch-group conv already amortize the copies.
+# All kernels stay for experiments; the product default is False.
 # ---------------------------------------------------------------------------
 
 def _wgrad_kernel(x_ref, dy_ref, dw_ref):
@@ -671,8 +677,12 @@ def dw_conv3x3s2_auto(x: jnp.ndarray, w: jnp.ndarray,
     if mode is None:
         mode = DEFAULT_DW_VJP
     if _on_tpu() and supports_fused_s2(x.shape):
-        if mode == "wgrad":
-            return dw_conv3x3s2_wg(x, w)
-        if mode:
+        # "wgrad" deliberately NOT routed here: dw_conv3x3s2_wg passes every
+        # isolated-shape test (tools/dw_crash_bisect.py) but CRASHES the TPU
+        # worker ("kernel fault") when compiled into the full TinyViT train
+        # step (round 4, reproduced twice) — and the stride-1 wgrad already
+        # loses the full-step A/B, so there is no speed claim to chase. The
+        # kernel stays available for direct experiments only.
+        if mode is True:
             return dw_conv3x3s2_fused(x, w)
     return _dw2_fwd_raw(x, w)

@@ -30,21 +30,24 @@ import jax.numpy as jnp
 N_STEPS = 5
 
 
-def _trace(step, *args):
-    """Warm up, then trace N_STEPS dependent iterations; return logdir."""
-    @jax.jit
-    def run(*a):
-        def body(c, _):
-            out = step(*a)
-            lead = jax.tree_util.tree_leaves(out)[0]
-            return c + lead.astype(jnp.float32).mean(), None
-        return jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
-                            length=N_STEPS)[0]
+def _trace(step, carry, *args):
+    """Warm up, then trace N_STEPS carried iterations; return logdir.
 
-    jax.device_get(run(*args))           # compile + warm
+    `step(carry, *args) -> new_carry` is scanned with the carry threaded
+    through, so no part of the step is loop-hoisted or DCE'd. (A wrapper
+    that returns only the loss lets XLA delete the whole backward+optimizer
+    — observed: a "train profile" that was actually the train-mode forward.)"""
+    @jax.jit
+    def run(c, *a):
+        def body(c, _):
+            return step(c, *a), None
+        c, _ = jax.lax.scan(body, c, None, length=N_STEPS)
+        return jax.tree_util.tree_leaves(c)[0].astype(jnp.float32).sum()
+
+    jax.device_get(run(carry, *args))    # compile + warm
     logdir = tempfile.mkdtemp(prefix="xprof_")
     jax.profiler.start_trace(logdir)
-    jax.device_get(run(*args))
+    jax.device_get(run(carry, *args))
     jax.profiler.stop_trace()
     return logdir
 
@@ -106,7 +109,14 @@ def make_eval(name, batch):
     x = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3),
                           jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.key(0), x)
-    return (lambda v, x: model.apply(v, x)), (variables, x)
+
+    # carry = the input; each step perturbs it with the (tiny) logits mean so
+    # iterations are data-dependent but the model sees realistic activations
+    def step(x, v):
+        out = model.apply(v, x)
+        return x + out.astype(jnp.float32).mean().astype(x.dtype) * 1e-12
+
+    return step, x, (variables,)
 
 
 def make_train(name, batch):
@@ -123,13 +133,13 @@ def make_train(name, batch):
     state = TrainState.create(params=variables["params"],
                               tx=optax.adamw(1e-3, weight_decay=0.05),
                               batch_stats=variables.get("batch_stats"))
-    step = make_train_step(model, donate=False)
+    train_step = make_train_step(model, donate=False)
     rng = jax.random.key(3)
 
-    def fn(state, batch_d, rng):
-        s, m = step(state, batch_d, rng)
-        return m["loss"]
-    return fn, (state, {"image": x, "label": labels}, rng)
+    def step(state, batch_d, rng):
+        s, _ = train_step(state, batch_d, rng)
+        return s
+    return step, state, ({"image": x, "label": labels}, rng)
 
 
 def main():
@@ -138,10 +148,13 @@ def main():
     ap.add_argument("model")
     ap.add_argument("batch", type=int)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--steps", type=int, default=3)
     args = ap.parse_args()
-    fn, fargs = (make_eval if args.mode == "eval" else make_train)(
+    global N_STEPS
+    N_STEPS = args.steps
+    fn, carry, fargs = (make_eval if args.mode == "eval" else make_train)(
         args.model, args.batch)
-    logdir = _trace(fn, *fargs)
+    logdir = _trace(fn, carry, *fargs)
     print(f"trace at {logdir}")
     by_op, by_cat, total = parse_xplane(logdir)
     report(by_op, by_cat, total, args.top)
