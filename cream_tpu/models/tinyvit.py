@@ -102,6 +102,12 @@ class TinyViT(nn.Module):
     mbconv_expand_ratio: float = 4.0
     local_conv_size: int = 3
     remat_stem: bool = False
+    # pin each transformer stage's input to the default row-major layout
+    # (ops/pallas/layout_pin.py). MEASURED LOSER (6,397 vs 6,996 img/s eval,
+    # v5e bs256): XLA re-copies to batch-minor right after the pin — the
+    # layout preference lives in the stage GEMM/LN fusions themselves. Kept
+    # as an experiment knob; see layout_pin.py for the full verdict.
+    pin_layouts: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -153,6 +159,9 @@ class TinyViT(nn.Module):
                 x = blk(x, train)
             if s < len(self.downsamples):
                 x = self.downsamples[s](x, train)
+                if self.pin_layouts:
+                    from cream_tpu.ops.pallas.layout_pin import layout_pin
+                    x = layout_pin(x)
         return x
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

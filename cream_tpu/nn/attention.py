@@ -30,6 +30,25 @@ def _on_tpu() -> bool:
         return False
 
 
+class SplitBiasDense(nn.Module):
+    """Dense whose bias is returned instead of added — the param tree
+    (kernel + bias, same shapes/init as nn.Dense) stays checkpoint-identical
+    while the bias add moves into the fused attention kernel (one less HBM
+    pass over the qkv tensor; see fused_window_attention qkv_bias)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = jax.lax.dot_general(x, kernel.astype(self.dtype),
+                                (((x.ndim - 1,), (0,)), ((), ())))
+        return y, bias
+
+
 class BiasAttention(nn.Module):
     dim: int
     key_dim: int
@@ -125,9 +144,11 @@ class WindowBiasAttention(nn.Module):
             from cream_tpu.ops.pallas.window_attention import (
                 fused_window_attention)
             y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
-            qkv = nn.Dense(h * (2 * kd + d), dtype=self.dtype, name="qkv")(y)
+            qkv, qb = SplitBiasDense(h * (2 * kd + d), dtype=self.dtype,
+                                     name="qkv")(y)
             out = fused_window_attention(qkv, bias_tab, window=ws, heads=h,
-                                         kd=kd, dv=d)     # (B, H, W, h*d)
+                                         kd=kd, dv=d,
+                                         qkv_bias=qb)     # (B, H, W, h*d)
         else:
             w, padded = window_partition(x, ws)
             Wn = w.shape[0]

@@ -91,10 +91,16 @@ class SwinWindowAttention(nn.Module):
                          and Hp % self.window == 0 and Wp % self.window == 0
                          and N <= 256 and h * N * N * 4 < 6 * 2 ** 20)
             if kernel_ok:
+                from cream_tpu.nn.attention import SplitBiasDense
                 from cream_tpu.ops.pallas.window_attention import (
                     fused_window_attention)
-                qkv = nn.Dense(3 * h * d, use_bias=self.qkv_bias,
-                               dtype=self.dtype, name="qkv")(x)
+                if self.qkv_bias:
+                    qkv, qb = SplitBiasDense(3 * h * d, dtype=self.dtype,
+                                             name="qkv")(x)
+                else:
+                    qkv = nn.Dense(3 * h * d, use_bias=False,
+                                   dtype=self.dtype, name="qkv")(x)
+                    qb = None
                 table = self.param("relative_position_bias_table",
                                    nn.initializers.truncated_normal(0.02),
                                    ((2 * self.window - 1) ** 2, h), jnp.float32)
@@ -109,7 +115,7 @@ class SwinWindowAttention(nn.Module):
                         m = jnp.tile(m, (reps, 1, 1))
                 out = fused_window_attention(qkv, bias, m, window=self.window,
                                              heads=h, kd=d, dv=d,
-                                             layout="qkv_major")
+                                             layout="qkv_major", qkv_bias=qb)
                 return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
             wx, padded = window_partition(x, self.window)
             out = self.__call__(wx, mask=mask, proj_l=proj_l, proj_w=proj_w,

@@ -61,12 +61,12 @@ def _round_up(a: int, m: int) -> int:
 
 
 def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
-            kd: int, dv: int, scale: float, has_mask: bool, offs,
-            N: int, NP: int, KP: int):
-    if has_mask:
-        mask_ref, out_ref, sc_ref = rest
-    else:
-        out_ref, sc_ref = rest
+            kd: int, dv: int, scale: float, has_mask: bool, has_qb: bool,
+            offs, N: int, NP: int, KP: int):
+    rest = list(rest)
+    mask_ref = rest.pop(0) if has_mask else None
+    qb_ref = rest.pop(0) if has_qb else None
+    out_ref, sc_ref = rest
     L = qkv_ref.shape[-1]
     for j in range(n_win):
         # (ws, ws, L) -> (N, L): Mosaic can't shape-cast a sublane-dim merge,
@@ -76,6 +76,14 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
         if KP > N:
             rows.append(jnp.zeros((KP - N, L), qkv_ref.dtype))
         xp = jnp.concatenate(rows, axis=0)                # (KP, L)
+        if has_qb:
+            # qkv projection bias folded in-kernel: the HBM-side add was a
+            # whole extra pass over the qkv tensor (XLA's layout copy before
+            # this custom-call breaks the GEMM+bias fusion — measured 0.91 ms
+            # per stage-1 block at TinyViT bs256). Padded key/value rows get
+            # the bias too, which is safe: their softmax weight is exactly 0
+            # (-1e9 bias pad underflows exp to 0.0 in fp32).
+            xp = xp + qb_ref[0:1, :].astype(xp.dtype)
         for h in range(heads):
             qo, ko, vo = offs[h]
             q = xp[:N, qo:qo + kd]
@@ -105,8 +113,8 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
 
 
 def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
-                kd: int, dv: int, scale: float, has_mask: bool, offs,
-                N: int, NP: int, KP: int, layout: str, hc: int,
+                kd: int, dv: int, scale: float, has_mask: bool, has_qb: bool,
+                offs, N: int, NP: int, KP: int, layout: str, hc: int,
                 stacked: bool):
     """Backward of `_kernel`: recompute-P flash-style (windows are tiny, so
     a full recompute is one extra (N, KP) matmul per head), then the standard
@@ -128,10 +136,10 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
         temporaries blow the 16 MB scoped-vmem limit; the per-head ops there
         are (200,256)-sized, so dispatch overhead is amortized anyway.
     The stacked passes run in `hc`-head chunks to bound stack temporaries."""
-    if has_mask:
-        mask_ref, dout_ref, dqkv_ref, dbias_ref, p_sc, d_sc = rest
-    else:
-        dout_ref, dqkv_ref, dbias_ref, p_sc, d_sc = rest
+    rest = list(rest)
+    mask_ref = rest.pop(0) if has_mask else None
+    qb_ref = rest.pop(0) if has_qb else None
+    dout_ref, dqkv_ref, dbias_ref, p_sc, d_sc = rest
     L = qkv_ref.shape[-1]
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
@@ -143,6 +151,8 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
         if KP > N:
             rows.append(jnp.zeros((KP - N, L), qkv_ref.dtype))
         xp = jnp.concatenate(rows, axis=0)                 # (KP, L)
+        if has_qb:
+            xp = xp + qb_ref[0:1, :].astype(xp.dtype)      # same fold as fwd
         do = jnp.concatenate([dout_ref[0, r, j * ws:(j + 1) * ws, :]
                               for r in range(ws)], axis=0)  # (N, heads*dv)
         # recompute scores, stacked softmax (same trick as fwd)
@@ -215,7 +225,7 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
                 dxp[r * ws:(r + 1) * ws, :]
 
 
-def _specs(B, H, W, L, window, heads, N, KP, nW, has_mask):
+def _specs(B, H, W, L, window, heads, N, KP, nW, has_mask, has_qb):
     in_specs = [
         pl.BlockSpec((1, window, W, L), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -225,24 +235,30 @@ def _specs(B, H, W, L, window, heads, N, KP, nW, has_mask):
     if has_mask:
         in_specs.append(pl.BlockSpec((nW, N, KP), lambda b, i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
+    if has_qb:
+        in_specs.append(pl.BlockSpec((1, L), lambda b, i: (0, 0),
+                                     memory_space=pltpu.VMEM))
     return in_specs
 
 
-def _pallas_fwd(statics, qkv, bias_p, mask_p):
+def _pallas_fwd(statics, qkv, bias_p, mask_p, qb_p):
     window, heads, kd, dv, layout, interpret = statics
     B, H, W, L = qkv.shape
     N = window * window
     nH, nW = H // window, W // window
     NP, KP = _round_up(N, 8), _round_up(N, 128)
-    args = [qkv, bias_p] + ([] if mask_p is None else [mask_p])
+    args = [qkv, bias_p] + ([] if mask_p is None else [mask_p]) \
+        + ([] if qb_p is None else [qb_p])
     return pl.pallas_call(
         functools.partial(_kernel, ws=window, n_win=nW, heads=heads, kd=kd,
                           dv=dv, scale=kd ** -0.5, has_mask=mask_p is not None,
+                          has_qb=qb_p is not None,
                           offs=tuple(_offsets(layout, heads, kd, dv)),
                           N=N, NP=NP, KP=KP),
         out_shape=jax.ShapeDtypeStruct((B, H, W, heads * dv), qkv.dtype),
         grid=(B, nH),
-        in_specs=_specs(B, H, W, L, window, heads, N, KP, nW, mask_p is not None),
+        in_specs=_specs(B, H, W, L, window, heads, N, KP, nW,
+                        mask_p is not None, qb_p is not None),
         out_specs=pl.BlockSpec((1, window, W, heads * dv),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -252,27 +268,30 @@ def _pallas_fwd(statics, qkv, bias_p, mask_p):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fwa(statics, qkv, bias_p, mask_p):
-    return _pallas_fwd(statics, qkv, bias_p, mask_p)
+def _fwa(statics, qkv, bias_p, mask_p, qb_p):
+    return _pallas_fwd(statics, qkv, bias_p, mask_p, qb_p)
 
 
-def _fwa_fwd(statics, qkv, bias_p, mask_p):
-    return _pallas_fwd(statics, qkv, bias_p, mask_p), (qkv, bias_p, mask_p)
+def _fwa_fwd(statics, qkv, bias_p, mask_p, qb_p):
+    return _pallas_fwd(statics, qkv, bias_p, mask_p, qb_p), \
+        (qkv, bias_p, mask_p, qb_p)
 
 
 def _fwa_bwd(statics, res, dout):
-    qkv, bias_p, mask_p = res
+    qkv, bias_p, mask_p, qb_p = res
     window, heads, kd, dv, layout, interpret = statics
     B, H, W, L = qkv.shape
     N = window * window
     nH, nW = H // window, W // window
     NP, KP = _round_up(N, 8), _round_up(N, 128)
     has_mask = mask_p is not None
-    in_specs = _specs(B, H, W, L, window, heads, N, KP, nW, has_mask)
+    has_qb = qb_p is not None
+    in_specs = _specs(B, H, W, L, window, heads, N, KP, nW, has_mask, has_qb)
     in_specs.append(pl.BlockSpec((1, window, W, heads * dv),
                                  lambda b, i: (b, i, 0, 0),
                                  memory_space=pltpu.VMEM))
-    args = [qkv, bias_p] + ([mask_p] if has_mask else []) + [dout]
+    args = [qkv, bias_p] + ([mask_p] if has_mask else []) \
+        + ([qb_p] if has_qb else []) + [dout]
     # head-chunk the stacked softmax recompute so each pass's fp32 stack
     # temporaries (~3 live at once) stay under ~2 MB (see _bwd_kernel)
     hc = max(1, int(6e5) // (NP * KP * 4))
@@ -282,6 +301,7 @@ def _fwa_bwd(statics, res, dout):
     dqkv, dbias_st = pl.pallas_call(
         functools.partial(_bwd_kernel, ws=window, n_win=nW, heads=heads,
                           kd=kd, dv=dv, scale=kd ** -0.5, has_mask=has_mask,
+                          has_qb=has_qb,
                           offs=tuple(_offsets(layout, heads, kd, dv)),
                           N=N, NP=NP, KP=KP, layout=layout, hc=hc,
                           stacked=stacked),
@@ -305,7 +325,11 @@ def _fwa_bwd(statics, res, dout):
     )(*args)
     dbias_p = dbias_st.reshape(heads, NP, KP)[:, :N, :]
     dmask = None if mask_p is None else jnp.zeros_like(mask_p)
-    return dqkv, dbias_p, dmask
+    # d(qkv bias) = sum of dqkv over all tokens — the same reduce XLA's
+    # autodiff of the Dense bias-add performed before the fold (fp32 accum).
+    dqb = None if qb_p is None else \
+        dqkv.astype(jnp.float32).sum(axis=(0, 1, 2))[None, :].astype(qb_p.dtype)
+    return dqkv, dbias_p, dmask, dqb
 
 
 _fwa.defvjp(_fwa_fwd, _fwa_bwd)
@@ -317,6 +341,7 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
                            mask: jnp.ndarray | None = None, *,
                            window: int, heads: int, kd: int, dv: int,
                            layout: str = "head_major",
+                           qkv_bias: jnp.ndarray | None = None,
                            interpret: bool = False) -> jnp.ndarray:
     """Windowed multi-head bias-attention without any HBM transpose.
 
@@ -327,6 +352,10 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
     bias: (heads, N, N) fp32 per-offset attention bias, N = window**2.
     mask: optional (nH*nW, N, N) fp32 additive mask per window position
           (Swin shifted windows).
+    qkv_bias: optional (L,) qkv PROJECTION bias, added to the qkv tensor
+          in-kernel (callers then run the qkv Dense without its bias add —
+          saves a full HBM pass over the qkv tensor that XLA cannot fuse
+          across the layout copy it inserts before this custom-call).
     Returns (B, H, W, heads*dv).
 
     Differentiable: a custom_vjp routes the backward through a recompute-P
@@ -351,5 +380,9 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
         assert mask.shape == (nH * nW, N, N), (mask.shape, nH, nW, N)
         mask_p = jnp.pad(mask.astype(jnp.float32),
                          ((0, 0), (0, 0), (0, KP - N)))
+    qb_p = None
+    if qkv_bias is not None:
+        assert qkv_bias.shape == (L,), (qkv_bias.shape, L)
+        qb_p = qkv_bias.astype(qkv.dtype)[None, :]         # (1, L)
     statics = (window, heads, kd, dv, layout, interpret)
-    return _fwa(statics, qkv, bias_p, mask_p)
+    return _fwa(statics, qkv, bias_p, mask_p, qb_p)

@@ -310,3 +310,40 @@ class TestFusedCGA:
                             ks_max=ks_max, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestQKVBiasFold:
+    """qkv_bias folded in-kernel == bias added to the qkv tensor outside
+    (fwd + all grads incl. the bias's own) — the HBM-pass-saving fold used
+    by WindowBiasAttention / Swin WindowAttention."""
+
+    def test_fwd_and_grads(self):
+        rng = np.random.default_rng(11)
+        B, H, W, ws, heads, kd, dv = 2, 14, 14, 7, 3, 16, 32
+        L = heads * (2 * kd + dv)
+        qkv = jnp.asarray(rng.standard_normal((B, H, W, L)), jnp.float32)
+        qb = jnp.asarray(rng.standard_normal((L,)) * 0.5, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws)) * .5,
+                           jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((B, H, W, heads * dv)),
+                          jnp.float32)
+
+        def loss_fold(qkv, bias, qb):
+            o = fused_window_attention(qkv, bias, window=ws, heads=heads,
+                                       kd=kd, dv=dv, qkv_bias=qb,
+                                       interpret=True)
+            return jnp.sum(o * wgt)
+
+        def loss_outside(qkv, bias, qb):
+            o = fused_window_attention(qkv + qb, bias, window=ws, heads=heads,
+                                       kd=kd, dv=dv, interpret=True)
+            return jnp.sum(o * wgt)
+
+        np.testing.assert_allclose(
+            np.asarray(loss_fold(qkv, bias, qb)),
+            np.asarray(loss_outside(qkv, bias, qb)), rtol=1e-5)
+        g1 = jax.grad(loss_fold, argnums=(0, 1, 2))(qkv, bias, qb)
+        g2 = jax.grad(loss_outside, argnums=(0, 1, 2))(qkv, bias, qb)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3)

@@ -33,28 +33,51 @@ N_STEPS = 5
 def _trace(step, carry, *args):
     """Warm up, then trace N_STEPS carried iterations; return logdir.
 
-    `step(carry, *args) -> new_carry` is scanned with the carry threaded
-    through, so no part of the step is loop-hoisted or DCE'd. (A wrapper
-    that returns only the loss lets XLA delete the whole backward+optimizer
-    — observed: a "train profile" that was actually the train-mode forward.)"""
-    @jax.jit
-    def run(c, *a):
-        def body(c, _):
-            return step(c, *a), None
-        c, _ = jax.lax.scan(body, c, None, length=N_STEPS)
-        return jax.tree_util.tree_leaves(c)[0].astype(jnp.float32).sum()
-
-    jax.device_get(run(carry, *args))    # compile + warm
+    `step(carry, *args) -> new_carry` is jitted ALONE and dispatched N_STEPS
+    times from python with the carry threaded through. Two traps this dodges
+    (both observed here):
+      * wrapping the steps in lax.scan puts every op inside a `while` body,
+        and the device tracer attributes nothing below the while op;
+      * returning only the loss (carry not threaded) lets XLA DCE the whole
+        backward+optimizer — the "train profile" was the train-mode forward.
+    Python-loop dispatch is fine for ATTRIBUTION (unlike timing): every op
+    still executes on device and the final device_get forces them all."""
+    run = jax.jit(step)
+    carry = run(carry, *args)            # compile + warm
+    jax.device_get(jax.tree_util.tree_leaves(carry)[0])
     logdir = tempfile.mkdtemp(prefix="xprof_")
     jax.profiler.start_trace(logdir)
-    jax.device_get(run(carry, *args))
+    for _ in range(N_STEPS):
+        carry = run(carry, *args)
+    jax.device_get(jax.tree_util.tree_leaves(carry)[0])
     jax.profiler.stop_trace()
     return logdir
 
 
-# async ops that overlap with compute — excluding them avoids double counting
-ASYNC_RE = re.compile(r"(copy-start|copy-done|slice-start|all-gather-start|"
-                      r"all-reduce-start|send|recv)")
+# async ops that overlap with compute — excluding them avoids double counting.
+# Event names are the FULL instruction text (operands included), so anchor on
+# the defining op: "%copy-done.3 = ..." — matching anywhere would also drop
+# every compute op that merely CONSUMES a %copy-done value (observed: that
+# mis-filter silently discarded 83% of a train-step timeline).
+ASYNC_RE = re.compile(r"^%?(copy-start|copy-done|slice-start|all-gather-start|"
+                      r"all-reduce-start|send|recv)[.\s]")
+
+
+def classify(nm: str) -> str:
+    """Coarse buckets (the hlo_category stat is absent in this env's traces;
+    event names are the full HLO instruction text, root name first)."""
+    head = nm.split(" = ")[0]
+    if head.startswith("%copy-done"):
+        return "dma-wait (copy-done)"
+    if "custom-call" in nm:
+        return "pallas custom-call"
+    if head.startswith("%copy"):
+        return "layout copy"
+    if "56,56" in nm or "112,112" in nm:
+        return "stem 56/112 fusions"
+    if head.startswith(("%convert_reduce_fusion", "%reduce")):
+        return "other reduces"
+    return "other fusions"
 
 
 def parse_xplane(logdir: str, top: int = 40):
@@ -73,7 +96,6 @@ def parse_xplane(logdir: str, top: int = 40):
             if "TPU" not in plane.name and "device" not in plane.name.lower():
                 continue
             meta = plane.event_metadata
-            stat_meta = plane.stat_metadata
             for line in plane.lines:
                 if line.name != "XLA Ops":
                     continue
@@ -81,12 +103,8 @@ def parse_xplane(logdir: str, top: int = 40):
                     name = meta[ev.metadata_id].name
                     if ASYNC_RE.search(name):
                         continue
-                    cat = ""
-                    for st in ev.stats:
-                        if stat_meta[st.metadata_id].name == "hlo_category":
-                            cat = st.str_value or st.ref_value
                     by_op[name] += ev.duration_ps
-                    by_cat[cat or "?"] += ev.duration_ps
+                    by_cat[classify(name)] += ev.duration_ps
                     total_ps += ev.duration_ps
     return by_op, by_cat, total_ps
 
@@ -95,7 +113,7 @@ def report(by_op, by_cat, total_ps, top):
     scale = 1e-9 / N_STEPS  # ps -> ms, per step
     print(f"\n== total XLA-op time: {total_ps * scale:.2f} ms/step "
           f"(over {N_STEPS} steps) ==")
-    print("\n-- by hlo_category --")
+    print("\n-- by class --")
     for cat, ps in by_cat.most_common():
         print(f"  {ps * scale:8.3f} ms  {cat}")
     print(f"\n-- top {top} ops --")
