@@ -84,16 +84,35 @@ def measured_hbm_bw() -> float:
     if _MEASURED_BW is None:
         try:
             n = 64 * 1024 * 1024  # 128 MB bf16
-            reps = 20
             x = jnp.ones((n,), jnp.bfloat16)
 
-            @jax.jit
-            def run(x):
-                def body(c, _):
-                    return c * jnp.bfloat16(1.0000305), None
-                return jax.lax.scan(body, x, None, length=reps)[0][0]
+            def make(reps):
+                @jax.jit
+                def run(x):
+                    def body(c, _):
+                        # 2-c: bf16-EXACT self-inverse affine op. A near-one
+                        # multiplier is a trap: 1.0000305 rounds to exactly
+                        # 1.0 in bf16 (mantissa step at 1.0 is 2^-8), the
+                        # body folds to identity, XLA deletes the loop, and
+                        # the probe measures dispatch latency (verified:
+                        # reps=50 and reps=400 both ran 0.028s).
+                        return jnp.bfloat16(2.0) - c, None
+                    return jax.lax.scan(body, x, None, length=reps)[0][0]
+                return run
 
+            # auto-scale the rep count to a >=1.5s window: the device tunnel
+            # adds ~25ms of dispatch overhead per call, which at 20 reps
+            # (a ~10ms true window) under-reported bandwidth 4-5x
+            reps = 50
+            run = make(reps)
             jax.device_get(run(x))  # compile + warmup
+            t0 = time.perf_counter()
+            jax.device_get(run(x))
+            dt = time.perf_counter() - t0
+            if dt < 1.5:
+                reps = int(reps * 1.5 / max(dt, 1e-3)) + 1
+                run = make(reps)
+                jax.device_get(run(x))
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()

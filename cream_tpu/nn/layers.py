@@ -48,6 +48,38 @@ class _DWConv3x3(nn.Module):
                   mode=self.mode)
 
 
+class MXUBatchNorm(nn.Module):
+    """Train-mode BatchNorm, variable-tree-identical to flax nn.BatchNorm
+    (params scale/bias, batch_stats mean/var, same momentum/eps semantics)
+    but normalizing through ops/bn.py:bn_train_norm — a custom_vjp whose
+    backward channel-sums run as MXU dots instead of the VPU-strided reduce
+    fusions XLA emits on batch-minor conv layouts (the round-4 xplane
+    attribution's biggest train bucket). A/B-gated via ops.bn.DEFAULT_MXU_BN;
+    only ever used when train=True (eval BN folds into the conv)."""
+    epsilon: float = 1e-5
+    momentum: float = 0.9
+    scale_init: Any = nn.initializers.ones
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cream_tpu.ops import bn as bn_ops
+        C = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        mu, var = bn_ops._moments(x)
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mu)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        return bn_ops.bn_train_norm(x, mu, var, scale, bias, self.epsilon)
+
+
 class ConvBN(nn.Module):
     """Conv2d(bias=False) + BatchNorm, NHWC. `groups=features` gives depthwise.
 
@@ -82,10 +114,15 @@ class ConvBN(nn.Module):
                         padding=[(self.padding, self.padding)] * 2,
                         feature_group_count=self.groups, use_bias=False,
                         dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype,
-                         scale_init=nn.initializers.constant(self.bn_weight_init),
-                         name="bn")(x)
+        from cream_tpu.ops import bn as bn_ops
+        if train and bn_ops.DEFAULT_MXU_BN:
+            x = MXUBatchNorm(scale_init=nn.initializers.constant(
+                self.bn_weight_init), dtype=self.dtype, name="bn")(x)
+        else:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             scale_init=nn.initializers.constant(self.bn_weight_init),
+                             name="bn")(x)
         return x
 
 

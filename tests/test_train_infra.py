@@ -279,3 +279,80 @@ class TestSeededPairMixup:
         # beta(0.8, 0.8) should essentially never hit exactly 1.0 twenty
         # times; degenerate switch branches produced lam=1 half the time
         assert sum(1 for v in lams if v > 0.999) < 10
+
+
+class TestMXUBatchNorm:
+    """ops/bn.py bn_train_norm + MXUBatchNorm vs flax nn.BatchNorm:
+    forward, all grads, and running-stat updates must match."""
+
+    def test_matches_flax_batchnorm(self):
+        import flax.linen as nn
+
+        from cream_tpu.nn.layers import MXUBatchNorm
+
+        x = jax.random.normal(jax.random.key(0), (4, 6, 6, 16), jnp.float32) * 2 + 1
+        ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                           epsilon=1e-5)
+        got = MXUBatchNorm()
+        vr = ref.init(jax.random.key(1), x)
+        vg = got.init(jax.random.key(1), x)
+        assert jax.tree_util.tree_structure(vr) == jax.tree_util.tree_structure(vg)
+
+        def run(mod, v, x):
+            y, mut = mod.apply(v, x, mutable=["batch_stats"])
+            return y, mut
+
+        yr, mr = run(ref, vr, x)
+        yg, mg = run(got, vg, x)
+        np.testing.assert_allclose(np.asarray(yg), np.asarray(yr),
+                                   atol=1e-5, rtol=1e-5)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mg["batch_stats"][k]),
+                np.asarray(mr["batch_stats"][k]), atol=1e-5, rtol=1e-5)
+
+        wgt = jax.random.normal(jax.random.key(2), yr.shape)
+
+        def loss(mod):
+            def f(v, x):
+                y, _ = mod.apply(v, x, mutable=["batch_stats"])
+                return jnp.sum(y * wgt)
+            return f
+
+        gr = jax.grad(loss(ref), argnums=(0, 1))(vr, x)
+        gg = jax.grad(loss(got), argnums=(0, 1))(vg, x)
+        np.testing.assert_allclose(np.asarray(gg[1]), np.asarray(gr[1]),
+                                   atol=1e-4, rtol=1e-4)  # dx incl. stats paths
+        for k in ("scale", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(gg[0]["params"][k]),
+                np.asarray(gr[0]["params"][k]), atol=1e-4, rtol=1e-4)
+
+    def test_convbn_flag_roundtrip(self):
+        """ConvBN with the MXU-BN flag on: same params tree, train forward
+        matches the flax-BN ConvBN."""
+        from cream_tpu.nn.layers import ConvBN
+        from cream_tpu.ops import bn as bn_ops
+
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 8))
+        mod = ConvBN(16, kernel_size=3, padding=1)
+        old = bn_ops.DEFAULT_MXU_BN
+        try:
+            bn_ops.DEFAULT_MXU_BN = False
+            v = jax.jit(mod.init, static_argnames=("train",))(
+                jax.random.key(1), x, train=True)
+            a, ma = mod.apply(v, x, train=True, mutable=["batch_stats"])
+            bn_ops.DEFAULT_MXU_BN = True
+            v2 = jax.jit(mod.init, static_argnames=("train",))(
+                jax.random.key(1), x, train=True)
+            assert jax.tree_util.tree_structure(v) == \
+                jax.tree_util.tree_structure(v2)
+            b, mb = mod.apply(v, x, train=True, mutable=["batch_stats"])
+        finally:
+            bn_ops.DEFAULT_MXU_BN = old
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+        for ka, kb in zip(jax.tree_util.tree_leaves(ma),
+                          jax.tree_util.tree_leaves(mb)):
+            np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                                       atol=1e-5, rtol=1e-5)

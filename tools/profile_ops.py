@@ -63,20 +63,35 @@ ASYNC_RE = re.compile(r"^%?(copy-start|copy-done|slice-start|all-gather-start|"
                       r"all-reduce-start|send|recv)[.\s]")
 
 
+def opcode(nm: str) -> str:
+    """The defining op's opcode from full HLO text: '%n = <shape> <opcode>(...'.
+    Substring checks on the whole text mis-bucket CONSUMERS of custom-call /
+    copy-done operands (hit twice here) — parse the opcode token instead."""
+    if " = " not in nm:
+        return nm.split("(")[0].lstrip("%")
+    seg = nm.split(" = ", 1)[1]
+    # the opcode is the first whitespace-delimited lowercase token directly
+    # followed by "(" — shape text also contains "(" (tilings like T(8,128))
+    # but never at a space boundary, so anchor on whitespace.
+    m = re.search(r"(?:^|\s)([a-z][a-z0-9\-._]*)\(", seg)
+    return m.group(1) if m else "?"
+
+
 def classify(nm: str) -> str:
-    """Coarse buckets (the hlo_category stat is absent in this env's traces;
-    event names are the full HLO instruction text, root name first)."""
+    """Coarse buckets (the hlo_category stat is absent in this env's traces)."""
+    op = opcode(nm)
     head = nm.split(" = ")[0]
-    if head.startswith("%copy-done"):
-        return "dma-wait (copy-done)"
-    if "custom-call" in nm:
+    if head.startswith(("%copy-done", "%copy-start", "%slice-start")):
+        return "dma"
+    if op == "custom-call":
         return "pallas custom-call"
-    if head.startswith("%copy"):
+    if op == "copy" or head.startswith("%copy"):
         return "layout copy"
-    if "56,56" in nm or "112,112" in nm:
+    shape = nm.split(" = ")[1].split(" ")[0] if " = " in nm else ""
+    if "56,56" in shape or "112,112" in shape:
         return "stem 56/112 fusions"
     if head.startswith(("%convert_reduce_fusion", "%reduce")):
-        return "other reduces"
+        return "reduces"
     return "other fusions"
 
 
