@@ -129,6 +129,16 @@ class CascadedGroupAttention(nn.Module):
                                  wproj, bproj, ws=H, heads=h, c_in=c_in,
                                  kd=kd, d=d, ks_max=ks_max)
 
+        # Attention-core Pallas kernel (eval only): score/bias/softmax/PV per
+        # head as one windows-packed GEMM chain — the convs of the cascade
+        # stay in XLA. See ops/pallas/cga_core.py for the measured rationale.
+        use_core = False
+        if not train and not self.is_initializing():
+            from cream_tpu.nn.attention import _on_tpu
+            from cream_tpu.ops.pallas import cga_core
+            use_core = (cga_core.DEFAULT_CORE_KERNEL and _on_tpu()
+                        and cga_core.supports(B, N))
+
         chunks = jnp.split(x, h, axis=-1)
         feat = chunks[0]
         outs = []
@@ -143,11 +153,16 @@ class CascadedGroupAttention(nn.Module):
             q = q.reshape(B, N, kd)
             k = k.reshape(B, N, kd)
             v = v.reshape(B, N, d)
-            attn = jnp.einsum("bnk,bmk->bnm", q, k,
-                              preferred_element_type=jnp.float32) * (kd ** -0.5)
-            attn = attn + bias_tab[i][None].astype(attn.dtype)
-            attn = nn.softmax(attn, axis=-1).astype(self.dtype)
-            feat = jnp.einsum("bnm,bmd->bnd", attn, v).reshape(B, H, W, d)
+            if use_core:
+                from cream_tpu.ops.pallas import cga_core
+                feat = cga_core.cga_attention(q, k, v, bias_tab[i],
+                                              kd ** -0.5).reshape(B, H, W, d)
+            else:
+                attn = jnp.einsum("bnk,bmk->bnm", q, k,
+                                  preferred_element_type=jnp.float32) * (kd ** -0.5)
+                attn = attn + bias_tab[i][None].astype(attn.dtype)
+                attn = nn.softmax(attn, axis=-1).astype(self.dtype)
+                feat = jnp.einsum("bnm,bmd->bnd", attn, v).reshape(B, H, W, d)
             outs.append(feat)
         x = nn.relu(jnp.concatenate(outs, axis=-1))
         return ConvBN(self.dim, 1, bn_weight_init=0.0, dtype=self.dtype,

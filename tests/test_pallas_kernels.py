@@ -347,3 +347,46 @@ class TestQKVBiasFold:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=1e-3)
+
+
+class TestCGACore:
+    """cga_core.cga_attention (windows-packed score/softmax/PV GEMM) vs the
+    einsum chain it replaces in CascadedGroupAttention."""
+
+    @pytest.mark.parametrize("W,N,kd,d", [(32, 49, 16, 16), (64, 16, 16, 64),
+                                          (16, 49, 16, 32)])
+    def test_matches_einsum(self, W, N, kd, d):
+        from cream_tpu.ops.pallas.cga_core import cga_attention
+        ks = jax.random.split(jax.random.key(0), 4)
+        q = jax.random.normal(ks[0], (W, N, kd), jnp.float32)
+        k = jax.random.normal(ks[1], (W, N, kd), jnp.float32)
+        v = jax.random.normal(ks[2], (W, N, d), jnp.float32)
+        bias = jax.random.normal(ks[3], (N, N), jnp.float32)
+        scale = kd ** -0.5
+        attn = jnp.einsum("bnk,bmk->bnm", q, k) * scale + bias[None]
+        ref = jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(attn, axis=-1), v)
+        got = cga_attention(q, k, v, bias, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_block_window_isolation(self):
+        """Windows packed into one GEMM must not attend across each other:
+        perturbing window 0 leaves every other window's output bit-identical."""
+        from cream_tpu.ops.pallas.cga_core import cga_attention
+        ks = jax.random.split(jax.random.key(1), 4)
+        q = jax.random.normal(ks[0], (32, 49, 16), jnp.float32)
+        k = jax.random.normal(ks[1], (32, 49, 16), jnp.float32)
+        v = jax.random.normal(ks[2], (32, 49, 16), jnp.float32)
+        bias = jax.random.normal(ks[3], (49, 49), jnp.float32)
+        a = cga_attention(q, k, v, bias, 0.25, interpret=True)
+        b = cga_attention(q.at[0].add(3.0), k.at[0].set(-k[0]),
+                          v.at[0].mul(2.0), bias, 0.25, interpret=True)
+        assert not np.allclose(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1:]), np.asarray(b[1:]))
+
+    def test_gate_logic(self):
+        from cream_tpu.ops.pallas.cga_core import pick_block_windows, supports
+        assert pick_block_windows(4096, 49) == 16   # G*N = 784
+        assert pick_block_windows(1024, 16) == 32   # capped by G*N <= 784
+        assert supports(1024, 49)
+        assert not supports(6, 49)  # 49*2 not a 16-multiple beyond G=...
