@@ -45,6 +45,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Round-4 softmax rewrite (measured, tools/wa_micro.py ablations on v5e):
+# the stacked softmax was ~2.0 ms of the 4.1 ms isolated S3-stage-0 kernel —
+# NOT dispatch-bound (window-stacking only got to 2.53) but reduce-bound: the
+# per-row max and sum are ~7-stage cross-lane reductions on the VPU. The
+# shipped form drops the max-subtract (softmax is shift-invariant; a clamp at
+# 60 guards exp overflow, exp(60)*KP ~ 1e28 << fp32 max) and routes the row
+# sum through the MXU as a dot-with-ones: 4.17 -> 2.26 ms at S3 stage-0.
+# A block-diagonal-Q single-issue-dot variant measured SLOWER (2.99) — the
+# Qbd scratch writes and the heads-inflated PV dot cost more than the saved
+# MXU issues. Flag kept for A/B.
+MXU_SOFTMAX = True
+
+
+def _softmax_rows(s, out_dtype, KP: int):
+    """Row softmax of a (rows, KP) fp32 tile, MXU-summed max-free form."""
+    if MXU_SOFTMAX:
+        p = jnp.exp(jnp.minimum(s, 60.0))
+        ones = jnp.ones((KP, 128), jnp.float32)
+        tot = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return (p * (1.0 / tot[:, :1])).astype(out_dtype)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    return (p / jnp.sum(p, axis=-1, keepdims=True)).astype(out_dtype)
+
+
+def _rowsum(t, KP: int):
+    """Row sum of a (rows, KP) fp32 tile as (rows, 1); MXU dot-with-ones
+    under MXU_SOFTMAX (same reduce-vs-MXU economics as _softmax_rows)."""
+    if MXU_SOFTMAX:
+        ones = jnp.ones((KP, 128), jnp.float32)
+        tot = jax.lax.dot_general(t, ones, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        return tot[:, :1]
+    return jnp.sum(t, axis=-1, keepdims=True)
+
 
 def _offsets(layout: str, heads: int, kd: int, dv: int):
     if layout == "head_major":
@@ -95,10 +131,7 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
                 s = s + mask_ref[j]
             sc_ref[h * NP:h * NP + N, :] = s
         # one stacked softmax over all heads' scores of this window
-        s = sc_ref[:, :]
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        p = _softmax_rows(sc_ref[:, :], qkv_ref.dtype, KP)
         outs = []
         for h in range(heads):
             vo = offs[h][2]
@@ -168,10 +201,7 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             p_sc[h * NP:h * NP + N, :] = s
         for c in range(0, heads, hc):
             r0, r1 = c * NP, min(c + hc, heads) * NP
-            s = p_sc[r0:r1, :]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s)
-            p_sc[r0:r1, :] = e / jnp.sum(e, axis=-1, keepdims=True)
+            p_sc[r0:r1, :] = _softmax_rows(p_sc[r0:r1, :], jnp.float32, KP)
         # vjp: dP = dO V^T; dS = P*(dP - rowsum(dP*P)); dQ = dS K;
         # dK = dS^T Q; dV = P^T dO.
         if stacked:
@@ -186,7 +216,7 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
                 r0, r1 = c * NP, min(c + hc, heads) * NP
                 p = p_sc[r0:r1, :]
                 dp = d_sc[r0:r1, :]
-                ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+                ds = p * (dp - _rowsum(dp * p, KP))
                 d_sc[r0:r1, :] = ds
                 dbias_ref[r0:r1, :] += ds
         dqs, dks, dvs = [], [], []
@@ -202,7 +232,7 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             else:
                 dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-                ds = p_h * (dp - jnp.sum(dp * p_h, axis=-1, keepdims=True))
+                ds = p_h * (dp - _rowsum(dp * p_h, KP))
                 dbias_ref[h * NP:h * NP + N, :] += ds
             dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)

@@ -1,0 +1,271 @@
+"""Micro-ablation of the fused window-attention kernel at S3/TinyViT shapes.
+
+Times kernel VARIANTS that stub out one cost component each, to attribute the
+per-grid-step cost before attempting a redesign:
+
+  full      — the shipped kernel (parity-checked elsewhere)
+  no_dots   — score/PV dots replaced by constant writes (assembly+softmax left)
+  no_asm    — window xp assembly replaced by one aligned whole-row slice
+              (dots+softmax left, on wrong-but-shape-identical data)
+  no_smax   — softmax replaced by a copy (assembly+dots left)
+
+  python tools/wa_micro.py s3s0      # S3-T stage-0: (128,56,56,288) h3 ws7
+  python tools/wa_micro.py tvs1      # TinyViT-21M stage-1 (256,28,28,576) h6
+"""
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cream_tpu.ops.pallas.window_attention import (
+    _offsets, _round_up, _specs)
+
+SHAPES = {
+    # name: (B, H, W, heads, kd, dv, window, layout)
+    "s3s0": (128, 56, 56, 3, 32, 32, 7, "qkv_major"),
+    "s3s1": (128, 28, 28, 6, 32, 32, 7, "qkv_major"),
+    "tvs1": (256, 28, 28, 6, 32, 32, 7, "head_major"),
+    "tvs2": (256, 14, 14, 12, 32, 32, 14, "head_major"),
+}
+
+
+def _kernel_abl(qkv_ref, bias_ref, out_ref, sc_ref, *, ws, n_win, heads, kd,
+                dv, scale, offs, N, NP, KP, skip_dots, skip_asm, skip_smax):
+    L = qkv_ref.shape[-1]
+    for j in range(n_win):
+        if skip_asm:
+            # one aligned slice of the whole row-block: wrong data, same shape
+            xp = jnp.concatenate(
+                [qkv_ref[0, 0, :KP if KP <= qkv_ref.shape[2] else None, :]]
+                if KP <= qkv_ref.shape[2] else
+                [qkv_ref[0, 0, :, :],
+                 jnp.zeros((KP - qkv_ref.shape[2], L), qkv_ref.dtype)],
+                axis=0)[:KP]
+        else:
+            rows = [qkv_ref[0, r, j * ws:(j + 1) * ws, :] for r in range(ws)]
+            if KP > N:
+                rows.append(jnp.zeros((KP - N, L), qkv_ref.dtype))
+            xp = jnp.concatenate(rows, axis=0)
+        for h in range(heads):
+            qo, ko, vo = offs[h]
+            if skip_dots:
+                s = xp[:N, ko:ko + KP] if L >= ko + KP else \
+                    jnp.zeros((N, KP), jnp.float32) + xp[0, 0]
+                s = s.astype(jnp.float32)
+            else:
+                q = xp[:N, qo:qo + kd]
+                k = xp[:, ko:ko + kd]
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h]
+            sc_ref[h * NP:h * NP + N, :] = s
+        s = sc_ref[:, :]
+        if skip_smax:
+            p = (s * 0.01).astype(qkv_ref.dtype)
+        else:
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(qkv_ref.dtype)
+        outs = []
+        for h in range(heads):
+            vo = offs[h][2]
+            if skip_dots:
+                o = p[h * NP:h * NP + N, :dv]
+            else:
+                v = xp[:, vo:vo + dv]
+                o = jax.lax.dot_general(p[h * NP:h * NP + N, :], v,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            outs.append(o.astype(out_ref.dtype))
+        o = jnp.concatenate(outs, axis=-1)
+        for r in range(ws):
+            out_ref[0, r, j * ws:(j + 1) * ws, :] = o[r * ws:(r + 1) * ws, :]
+
+
+def _kernel_v2(qkv_ref, bias_ref, out_ref, sc_ref, *, ws, n_win, heads, kd,
+               dv, scale, offs, N, NP, KP, stack_windows, mxu_sum):
+    """Redesign candidates: window-stacked softmax and/or MXU-summed
+    max-free softmax (clamp guards exp overflow; softmax is shift-invariant
+    so skipping the max changes nothing mathematically)."""
+    L = qkv_ref.shape[-1]
+    HNP = heads * NP
+
+    def softmax_rows(s):
+        if mxu_sum:
+            p = jnp.exp(jnp.minimum(s, 60.0))
+            ones = jnp.ones((KP, 128), jnp.float32)
+            tot = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            return p * (1.0 / tot[:, :1])
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+
+    xps = []
+    for j in range(n_win):
+        rows = [qkv_ref[0, r, j * ws:(j + 1) * ws, :] for r in range(ws)]
+        if KP > N:
+            rows.append(jnp.zeros((KP - N, L), qkv_ref.dtype))
+        xp = jnp.concatenate(rows, axis=0)
+        xps.append(xp)
+        for h in range(heads):
+            qo, ko, vo = offs[h]
+            q = xp[:N, qo:qo + kd]
+            k = xp[:, ko:ko + kd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[h]
+            sc_ref[j * HNP + h * NP:j * HNP + h * NP + N, :] = s
+        if not stack_windows:
+            sc_ref[j * HNP:(j + 1) * HNP, :] = softmax_rows(
+                sc_ref[j * HNP:(j + 1) * HNP, :])
+    if stack_windows:
+        sc_ref[...] = softmax_rows(sc_ref[...])
+    for j in range(n_win):
+        xp = xps[j]
+        outs = []
+        for h in range(heads):
+            vo = offs[h][2]
+            v = xp[:, vo:vo + dv]
+            p = sc_ref[j * HNP + h * NP:j * HNP + h * NP + N, :].astype(
+                qkv_ref.dtype)
+            o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            outs.append(o.astype(out_ref.dtype))
+        o = jnp.concatenate(outs, axis=-1)
+        for r in range(ws):
+            out_ref[0, r, j * ws:(j + 1) * ws, :] = o[r * ws:(r + 1) * ws, :]
+
+
+def _kernel_v3(qkv_ref, bias_ref, out_ref, sc_ref, qbd_ref, *, ws, n_win,
+               heads, kd, dv, scale, offs, N, NP, KP):
+    """v2_mxu softmax + block-diagonal-Q single-issue dots: all heads' scores
+    in ONE (heads*NP, KP) dot (zeros in Qbd's off-head columns kill cross-head
+    terms), all heads' PV in ONE (heads*NP, heads*dv) dot whose off-diagonal
+    blocks are discarded. bias_ref here is pre-stacked (heads*NP, KP).
+    qkv_major only (K_all/V_all are contiguous lane slices). Qbd lives in a
+    persistent scratch zeroed once: the off-head zero lanes never change and
+    only the q blocks are rewritten per window (garbage in NP-N pad rows is
+    never read back)."""
+    L = qkv_ref.shape[-1]
+    HK, HD = heads * kd, heads * dv
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _init():
+        qbd_ref[...] = jnp.zeros_like(qbd_ref)
+
+    for j in range(n_win):
+        rows = [qkv_ref[0, r, j * ws:(j + 1) * ws, :] for r in range(ws)]
+        if KP > N:
+            rows.append(jnp.zeros((KP - N, L), qkv_ref.dtype))
+        xp = jnp.concatenate(rows, axis=0)
+        for h in range(heads):
+            qbd_ref[h * NP:h * NP + N, h * kd:(h + 1) * kd] = \
+                xp[:N, h * kd:(h + 1) * kd]
+        k_all = xp[:, HK:2 * HK]                           # (KP, HK)
+        s = jax.lax.dot_general(qbd_ref[...], k_all, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[...]
+        p = jnp.exp(jnp.minimum(s, 60.0))
+        ones = jnp.ones((KP, 128), jnp.float32)
+        tot = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        p = (p * (1.0 / tot[:, :1])).astype(qkv_ref.dtype)
+        v_all = xp[:, 2 * HK:]                             # (KP, HD)
+        o_full = jax.lax.dot_general(p, v_all, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        o = jnp.concatenate(
+            [o_full[h * NP:h * NP + N, h * dv:(h + 1) * dv]
+             for h in range(heads)], axis=-1).astype(out_ref.dtype)
+        for r in range(ws):
+            out_ref[0, r, j * ws:(j + 1) * ws, :] = o[r * ws:(r + 1) * ws, :]
+
+
+def build(name, variant):
+    B, H, W, heads, kd, dv, window, layout = SHAPES[name]
+    L = heads * (2 * kd + dv)
+    N = window * window
+    nH, nW = H // window, W // window
+    NP, KP = _round_up(N, 8), _round_up(N, 128)
+    qkv = jax.random.normal(jax.random.key(0), (B, H, W, L), jnp.bfloat16)
+    bias = jax.random.normal(jax.random.key(1), (heads, N, KP), jnp.float32)
+    if variant == "v3":
+        bias = jax.random.normal(jax.random.key(1), (heads * NP, KP),
+                                 jnp.float32)
+        kern = functools.partial(
+            _kernel_v3, ws=window, n_win=nW, heads=heads, kd=kd, dv=dv,
+            scale=kd ** -0.5, offs=tuple(_offsets(layout, heads, kd, dv)),
+            N=N, NP=NP, KP=KP)
+        scratch_rows = heads * NP
+    elif variant.startswith("v2"):
+        kern = functools.partial(
+            _kernel_v2, ws=window, n_win=nW, heads=heads, kd=kd, dv=dv,
+            scale=kd ** -0.5, offs=tuple(_offsets(layout, heads, kd, dv)),
+            N=N, NP=NP, KP=KP,
+            stack_windows="stack" in variant, mxu_sum="mxu" in variant)
+        scratch_rows = nW * heads * NP
+    else:
+        kern = functools.partial(
+            _kernel_abl, ws=window, n_win=nW, heads=heads, kd=kd, dv=dv,
+            scale=kd ** -0.5, offs=tuple(_offsets(layout, heads, kd, dv)),
+            N=N, NP=NP, KP=KP,
+            skip_dots=variant == "no_dots", skip_asm=variant == "no_asm",
+            skip_smax=variant == "no_smax")
+        scratch_rows = heads * NP
+
+    in_specs = _specs(B, H, W, L, window, heads, N, KP, nW, False, False)[:2]
+    if variant == "v3":
+        in_specs[1] = pl.BlockSpec((heads * NP, KP), lambda b, i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    def run(x):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, H, W, heads * dv), x.dtype),
+            grid=(B, nH),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, window, W, heads * dv),
+                                   lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=(
+                [pltpu.VMEM((scratch_rows, KP), jnp.float32)]
+                + ([pltpu.VMEM((heads * NP, heads * kd), jnp.bfloat16)]
+                   if variant == "v3" else [])),
+        )(x, bias)
+    return run, qkv
+
+
+def timeit(fn, x, reps=30):
+    def body(c, _):
+        y = fn(c)
+        # data-depend the next iteration on one output element; the pallas
+        # custom-call is opaque so the whole kernel still executes.
+        return c.at[0, 0, 0, 0].add(y[0, 0, 0, 0].astype(c.dtype) * 1e-12), None
+    f = jax.jit(lambda x: jax.lax.scan(body, x, None, length=reps)[0])
+    r = f(x)
+    jax.device_get(r[0, 0, 0, 0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f(x)[0, 0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+if __name__ == "__main__":
+    name = sys.argv[1] if len(sys.argv) > 1 else "s3s0"
+    for variant in (sys.argv[2:] or ("full", "no_dots", "no_asm", "no_smax")):
+        try:
+            fn, x = build(name, variant)
+            ms = timeit(fn, x) * 1e3
+            print(f"{name} {variant:8s}: {ms:7.3f} ms", flush=True)
+        except Exception as e:
+            print(f"{name} {variant:8s}: FAILED {type(e).__name__}: {e}",
+                  flush=True)
