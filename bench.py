@@ -18,6 +18,7 @@ a plain python loop + block_until_ready can under-report through the remote
 device tunnel.
 """
 import json
+import os
 import time
 
 import jax
@@ -449,7 +450,7 @@ def main():
         models["data_pipeline"] = {"error": f"{type(e).__name__}: {e}"}
 
     head = models["tinyvit_21m"]
-    print(json.dumps({
+    full = {
         "metric": "tinyvit21m_224_infer_throughput",
         "value": head.get("items_per_s", 0.0),
         "unit": "img/s",
@@ -457,7 +458,31 @@ def main():
                              REF_V100["tinyvit_21m"], 3),
         "device": jax.devices()[0].device_kind,
         "models": models,
-    }))
+    }
+    # The driver captures only a ~2.3KB TAIL of stdout (round 4: the flagship
+    # TinyViT row was truncated out of BENCH_r04.json). Persist the full
+    # result in-repo and print a SLIM one-liner (throughput + mfu per row,
+    # roofline diagnostics only in the file) that fits any tail capture.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    slim = {}
+    for k, r in models.items():
+        if "error" in r:
+            slim[k] = {"error": r["error"][:120]}
+            continue
+        s = {kk: r[kk] for kk in ("items_per_s", "unit", "batch", "mfu",
+                                  "fwd_to_train_ratio", "pil_1thread",
+                                  "native", "native_mt") if kk in r}
+        if "roofline" in r:
+            s["pct_of_roofline"] = r["roofline"]["pct_of_roofline"]
+        slim[k] = s
+    print(json.dumps({**{k: full[k] for k in
+                         ("metric", "value", "unit", "vs_baseline", "device")},
+                      "full": "BENCH.json", "models": slim}))
 
 
 if __name__ == "__main__":

@@ -39,26 +39,76 @@ def battery(n: int = 256, img: int = 224, seed: int = 0) -> np.ndarray:
     return (x - mean) / std
 
 
-def dump_ours(model_name: str, ckpt: str, out: str, img: int, n: int):
+def dump_ours(model_name: str, ckpt: str, out: str, img: int, n: int,
+              cells_json: str | None = None,
+              subnet_yaml: str | None = None):
+    """Family routing (same special cases as the reference eval entry
+    points): CLIP dumps L2-normalized image features; cdarts_retrain_*
+    needs --cells-json (the shipped genotype file the checkpoint was
+    retrained from, CDARTS/test.py:72-86); autoformer_supernet_* needs
+    --subnet-yaml (experiments/subnet/AutoFormer-*.yaml, whose RETRAIN
+    section picks the released subnet)."""
     import jax
     import jax.numpy as jnp
 
     from cream_tpu.models import create_model
-    from cream_tpu.zoo import load_model_variables, shape_template
 
-    model = create_model(model_name)
-    tmpl = None
-    try:
-        tmpl = shape_template(model, img)
-    except TypeError:
-        pass
-    variables = load_model_variables(model_name, ckpt, template=tmpl)
     x = battery(n, img)
-    logits = jax.jit(lambda v, x: model.apply(v, x, train=False))(
-        variables, jnp.asarray(x))
+    if model_name.startswith(("tinyclip", "clip")) \
+            and not model_name.endswith(("_classifier", "_tower")):
+        from cream_tpu.zoo import load_model_variables
+        model = create_model(model_name)
+        variables = load_model_variables(model_name, ckpt)
+        fwd = jax.jit(lambda v, x: model.apply(
+            v, x, normalized=True, method=model.encode_image))
+    elif model_name.startswith("cdarts_retrain"):
+        if not cells_json:
+            raise SystemExit("cdarts_retrain_* needs --cells-json")
+        from cream_tpu.zoo.load import load_cdarts_retrain
+        model_type = ("imagenet" if model_name.endswith("imagenet")
+                      else "cifar")
+        init_c = 48 if model_type == "imagenet" else 36
+        model, variables = load_cdarts_retrain(
+            ckpt, cells_json, model_type=model_type, init_channels=init_c)
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    elif model_name.startswith("autoformer_supernet"):
+        if not subnet_yaml:
+            raise SystemExit("autoformer_supernet_* needs --subnet-yaml")
+        from cream_tpu.models.autoformer import encode_config
+        from cream_tpu.zoo import load_model_variables
+        model = create_model(model_name)
+        cfg = encode_config(_parse_retrain_yaml(subnet_yaml), model.space)
+        variables = load_model_variables(model_name, ckpt)
+        fwd = jax.jit(lambda v, x: model.apply(v, x, cfg, train=False))
+    else:
+        from cream_tpu.zoo import load_model_variables, shape_template
+        model = create_model(model_name)
+        tmpl = None
+        try:
+            tmpl = shape_template(model, img)
+        except TypeError:
+            pass
+        variables = load_model_variables(model_name, ckpt, template=tmpl)
+        fwd = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    logits = fwd(variables, jnp.asarray(x))
     np.savez(out, logits=np.asarray(logits, np.float32),
              model=model_name, img=img, n=n)
     print(f"wrote {out}: logits {logits.shape}")
+
+
+def _parse_retrain_yaml(path: str) -> dict:
+    """experiments/subnet/AutoFormer-*.yaml RETRAIN -> reference-style
+    config dict (evolution.py decode format), depth-padding handled by
+    encode_config. Minimal parser — the yaml is flat lists of scalars."""
+    import yaml
+    r = yaml.safe_load(open(path))["RETRAIN"]
+    depth = int(r["DEPTH"])
+    return {"layer_num": depth,
+            "embed_dim": [int(r["EMBED_DIM"])] * depth
+            if not isinstance(r["EMBED_DIM"], list)
+            else [int(e) for e in r["EMBED_DIM"]][:depth],
+            "num_heads": [int(h) for h in r["NUM_HEADS"]][:depth],
+            "mlp_ratio": [float(m) for m in r["MLP_RATIO"]][:depth]}
 
 
 def compare(a_path: str, b_path: str, top1_tol: float = 0.0):
@@ -86,6 +136,10 @@ def main(argv=None):
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--n", type=int, default=256)
     ap.add_argument("--dump", default=None, help="output .npz path")
+    ap.add_argument("--cells-json", default=None,
+                    help="cdarts_retrain_*: genotype cells .json")
+    ap.add_argument("--subnet-yaml", default=None,
+                    help="autoformer_supernet_*: released subnet yaml")
     ap.add_argument("--compare", nargs=2, default=None,
                     metavar=("OURS", "THEIRS"))
     args = ap.parse_args(argv)
@@ -93,7 +147,8 @@ def main(argv=None):
         return compare(*args.compare)
     if not (args.model and args.torch_ckpt and args.dump):
         raise SystemExit("need --model + --torch-ckpt + --dump (or --compare)")
-    dump_ours(args.model, args.torch_ckpt, args.dump, args.img, args.n)
+    dump_ours(args.model, args.torch_ckpt, args.dump, args.img, args.n,
+              cells_json=args.cells_json, subnet_yaml=args.subnet_yaml)
 
 
 if __name__ == "__main__":

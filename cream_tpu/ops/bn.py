@@ -13,7 +13,13 @@ Semantics match flax nn.BatchNorm(use_running_average=False): biased batch
 variance, normalization computed in the module dtype, stats in fp32.
 Reference counterpart: torch.nn.BatchNorm2d training mode (used by every
 Conv2d_BN in EfficientViT/classification/model/efficientvit.py and
-TinyViT/models/tiny_vit.py).
+TinyViT/models/tiny_vit.py) — with ONE deliberate difference: running_var
+here follows flax and stores the BIASED batch variance, while torch stores
+the UNBIASED (Bessel-corrected) one. Normalization uses the biased variance
+in both frameworks, so forward parity holds; only checkpoints of the
+*running stats themselves* would differ by n/(n-1) if this module were used
+for torch-parity training. (The flax-match claim is what the parity tests
+pin.)
 """
 from __future__ import annotations
 

@@ -49,19 +49,46 @@ from jax.experimental.pallas import tpu as pltpu
 # the stacked softmax was ~2.0 ms of the 4.1 ms isolated S3-stage-0 kernel —
 # NOT dispatch-bound (window-stacking only got to 2.53) but reduce-bound: the
 # per-row max and sum are ~7-stage cross-lane reductions on the VPU. The
-# shipped form drops the max-subtract (softmax is shift-invariant; a clamp at
-# 60 guards exp overflow, exp(60)*KP ~ 1e28 << fp32 max) and routes the row
-# sum through the MXU as a dot-with-ones: 4.17 -> 2.26 ms at S3 stage-0.
-# A block-diagonal-Q single-issue-dot variant measured SLOWER (2.99) — the
-# Qbd scratch writes and the heads-inflated PV dot cost more than the saved
-# MXU issues. Flag kept for A/B.
-MXU_SOFTMAX = True
+# round-4 form dropped the max-subtract entirely (clamp at 60 guards exp
+# overflow) and routed the row sum through the MXU as a dot-with-ones:
+# 4.17 -> 2.26 ms at S3 stage-0. A block-diagonal-Q single-issue-dot variant
+# measured SLOWER (2.99).
+#
+# Round-5 RESOLUTION (measured, tools/smax_ab.py full-model A/B on v5e,
+# post-qkv-bias-fold): the max-free hazard buys nothing at model level, so
+# the EXACT per-row form ships. img/s, higher better:
+#   mode          S3-T eval bs128   TinyViT eval bs256   TinyViT train bs256
+#   False (exact)      4777              6997                 1708
+#   "maxfree"          4856 (+1.6%)      6976 (-0.3%)         1688 (-1.2%)
+#   "safe"             4022 (-16%)       6443 (-8%)           1623 (-5%)
+# The round-4 isolated-kernel win (4.17 -> 2.26 ms at S3 stage-0) did not
+# survive the qkv-bias fold at model level — "maxfree" nets +1.6% on ONE
+# model and LOSES on the train path (it explains round 4's 1,701 -> 1,691
+# train regression). Its hazard is real: any row whose max logit exceeds
+# the 60 clamp silently flattens, and an all-below--87 row NaNs (fp32 exp
+# underflow; TPU flushes subnormals) — trained models can grow attention
+# logits far past random-init scales. "safe" (one running scalar shift per
+# stacked tile, floored at -80) fixes the numerics but the per-head
+# tile->scalar max reduces serialize the score loop: -8..-16%.
+# Tri-state A/B flag: False (SHIPPED: exact per-row max + VPU sum) |
+# "maxfree" (round-4 form, |logit|<60 assumption) | "safe" (scalar-shift
+# MXU row-sum). tests/test_pallas_kernels.py::TestSoftmaxRangeGuard pins
+# exactness of the shipped default and of "safe" at +/-90..120 logit
+# scales, and that "maxfree" really does break there.
+MXU_SOFTMAX: str | bool = False
 
 
-def _softmax_rows(s, out_dtype, KP: int):
-    """Row softmax of a (rows, KP) fp32 tile, MXU-summed max-free form."""
+def _softmax_rows(s, out_dtype, KP: int, shift=None):
+    """Row softmax of a (rows, KP) fp32 tile, MXU-summed.
+
+    shift: scalar to subtract from scores before exp ("safe" mode; must be
+    >= every real score so exp cannot overflow; the -80 floor then bounds
+    underflow to a per-row uniformization, never a 0-sum NaN)."""
     if MXU_SOFTMAX:
-        p = jnp.exp(jnp.minimum(s, 60.0))
+        if shift is not None:
+            p = jnp.exp(jnp.maximum(s - shift, -80.0))
+        else:
+            p = jnp.exp(jnp.minimum(s, 60.0))
         ones = jnp.ones((KP, 128), jnp.float32)
         tot = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -69,6 +96,10 @@ def _softmax_rows(s, out_dtype, KP: int):
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     return (p / jnp.sum(p, axis=-1, keepdims=True)).astype(out_dtype)
+
+
+def _safe_shift():
+    return MXU_SOFTMAX == "safe"
 
 
 def _rowsum(t, KP: int):
@@ -120,6 +151,9 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             # the bias too, which is safe: their softmax weight is exactly 0
             # (-1e9 bias pad underflows exp to 0.0 in fp32).
             xp = xp + qb_ref[0:1, :].astype(xp.dtype)
+        # "safe" softmax shift: running scalar max over the scores actually
+        # written (stale NP-pad scratch rows never enter it).
+        m = jnp.float32(-3.0e38)
         for h in range(heads):
             qo, ko, vo = offs[h]
             q = xp[:N, qo:qo + kd]
@@ -130,8 +164,11 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             if has_mask:
                 s = s + mask_ref[j]
             sc_ref[h * NP:h * NP + N, :] = s
+            if _safe_shift():
+                m = jnp.maximum(m, jnp.max(s))
         # one stacked softmax over all heads' scores of this window
-        p = _softmax_rows(sc_ref[:, :], qkv_ref.dtype, KP)
+        p = _softmax_rows(sc_ref[:, :], qkv_ref.dtype, KP,
+                          shift=m if _safe_shift() else None)
         outs = []
         for h in range(heads):
             vo = offs[h][2]
@@ -188,7 +225,9 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             xp = xp + qb_ref[0:1, :].astype(xp.dtype)      # same fold as fwd
         do = jnp.concatenate([dout_ref[0, r, j * ws:(j + 1) * ws, :]
                               for r in range(ws)], axis=0)  # (N, heads*dv)
-        # recompute scores, stacked softmax (same trick as fwd)
+        # recompute scores, stacked softmax (same trick + same shift as fwd,
+        # so the recomputed P is bit-identical to the forward's)
+        m = jnp.float32(-3.0e38)
         for h in range(heads):
             qo, ko, _ = offs[h]
             q = xp[:N, qo:qo + kd]
@@ -199,9 +238,12 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             if has_mask:
                 s = s + mask_ref[j]
             p_sc[h * NP:h * NP + N, :] = s
+            if _safe_shift():
+                m = jnp.maximum(m, jnp.max(s))
         for c in range(0, heads, hc):
             r0, r1 = c * NP, min(c + hc, heads) * NP
-            p_sc[r0:r1, :] = _softmax_rows(p_sc[r0:r1, :], jnp.float32, KP)
+            p_sc[r0:r1, :] = _softmax_rows(p_sc[r0:r1, :], jnp.float32, KP,
+                                           shift=m if _safe_shift() else None)
         # vjp: dP = dO V^T; dS = P*(dP - rowsum(dP*P)); dQ = dS K;
         # dK = dS^T Q; dV = P^T dO.
         if stacked:

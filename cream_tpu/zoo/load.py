@@ -77,6 +77,11 @@ def load_model_variables(name: str, ckpt_path: str,
     """
     sd = it.load_torch_state_dict(ckpt_path)
     variables = convert_for_model(name, sd, with_head=with_head)
+    # some converters emit an empty batch_stats collection for BN-free
+    # families (e.g. mini_swin) — drop it so remap/apply don't trip on a
+    # collection the model never defines
+    variables = {k: v for k, v in variables.items()
+                 if not (isinstance(v, dict) and not v)}
     if template is not None:
         from cream_tpu.zoo.interpolate import remap_resolution
         variables = remap_resolution(variables, template)

@@ -214,6 +214,82 @@ class TestFusedWindowAttentionBackward:
                                    atol=2e-4, rtol=1e-3)
 
 
+class TestSoftmaxRangeGuard:
+    """The 'safe' MXU softmax must stay exact where the round-4 max-free
+    form fails: attention logits beyond the |s| <= 60 window it assumed
+    (trained models can grow attention logits well past random-init scales —
+    the reason qk-layernorm exists). Exercises both hazards from the round-4
+    advisor finding: max logit > 60 (silent flattening) and all logits below
+    -87 (exp underflow -> 0-sum -> NaN)."""
+
+    def _run(self, mode, qkv, bias, ws, heads, kd, dv):
+        import cream_tpu.ops.pallas.window_attention as wa
+        old = wa.MXU_SOFTMAX
+        wa.MXU_SOFTMAX = mode
+        try:
+            jax.clear_caches()   # the inner jit cached the previous mode
+            return fused_window_attention(qkv, bias, window=ws, heads=heads,
+                                          kd=kd, dv=dv, interpret=True)
+        finally:
+            wa.MXU_SOFTMAX = old
+            jax.clear_caches()
+
+    @pytest.mark.parametrize("mode", [False, "safe"],
+                             ids=["default-exact", "safe"])
+    @pytest.mark.parametrize("shift", [+90.0, -120.0])
+    def test_exact_at_extreme_logit_scales(self, mode, shift):
+        # bias shifts every logit by `shift`: +90 puts row maxima past the
+        # max-free clamp at 60; -120 puts them past fp32 exp underflow.
+        # `False` is the shipped default — this pins that the DEFAULT path
+        # has no logit-range hazard.
+        rng = np.random.default_rng(11)
+        B, H, W, ws, heads, kd, dv = 1, 14, 14, 7, 3, 32, 32
+        L = heads * (2 * kd + dv)
+        qkv = jnp.asarray(rng.standard_normal((B, H, W, L)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws))
+                           + shift, jnp.float32)
+        want = np.asarray(ref_window_attention(qkv, bias, ws, heads, kd, dv))
+        got = np.asarray(self._run(mode, qkv, bias, ws, heads, kd, dv))
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+        # the guard has teeth: the max-free form really does break here
+        bad = np.asarray(self._run("maxfree", qkv, bias, ws, heads, kd, dv))
+        assert (not np.isfinite(bad).all()
+                or np.abs(bad - want).max() > 1e-2)
+
+    def test_safe_grads_finite_at_large_scale(self):
+        rng = np.random.default_rng(12)
+        B, H, W, ws, heads, kd, dv = 1, 14, 14, 7, 2, 16, 16
+        L = heads * (2 * kd + dv)
+        qkv = jnp.asarray(rng.standard_normal((B, H, W, L)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws))
+                           + 90.0, jnp.float32)
+        import cream_tpu.ops.pallas.window_attention as wa
+        old = wa.MXU_SOFTMAX
+        wa.MXU_SOFTMAX = "safe"
+        try:
+            jax.clear_caches()
+
+            def loss(qkv, bias):
+                o = fused_window_attention(qkv, bias, window=ws, heads=heads,
+                                           kd=kd, dv=dv, interpret=True)
+                return jnp.sum(o * o)
+
+            def loss_ref(qkv, bias):
+                o = ref_window_attention(qkv, bias, ws, heads, kd, dv)
+                return jnp.sum(o * o)
+
+            gq, gb = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+            rq, rb = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+            np.testing.assert_allclose(np.asarray(gq), np.asarray(rq),
+                                       atol=2e-4, rtol=1e-3)
+            np.testing.assert_allclose(np.asarray(gb), np.asarray(rb),
+                                       atol=2e-4, rtol=1e-3)
+        finally:
+            wa.MXU_SOFTMAX = old
+            jax.clear_caches()
+
+
 class TestFusedMBConv:
     def _vars(self, m, x, rng):
         import jax.tree_util as jtu

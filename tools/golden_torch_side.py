@@ -31,7 +31,17 @@ REPO = os.path.dirname(HERE)
 
 
 def battery(n: int = 256, img: int = 224, seed: int = 0) -> np.ndarray:
-    """MUST match cream_tpu/cli/golden.py:battery bit-for-bit."""
+    """The shared deterministic battery. When the cream_tpu repo is
+    importable (it is pure numpy at this entry point) the ONE definition in
+    cream_tpu/cli/golden.py is used, so the two sides cannot drift; the
+    inline fallback below exists only for running this file standalone next
+    to a torch checkout, and must match that function bit-for-bit."""
+    try:
+        sys.path.insert(0, REPO)
+        from cream_tpu.cli.golden import battery as _b
+        return _b(n, img, seed)
+    except ImportError:
+        pass
     rng = np.random.Generator(np.random.PCG64(seed))
     x = rng.random((n, img, img, 3), np.float32)
     mean = np.asarray([0.485, 0.456, 0.406], np.float32)

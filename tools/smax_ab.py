@@ -20,7 +20,7 @@ from cream_tpu.ops.pallas import window_attention as wa
 def eval_ab():
     from cream_tpu.models import create_model
     for name, batch in (("s3_tiny", 128), ("tiny_vit_21m_224", 256)):
-        for mxu in (False, True):
+        for mxu in (False, "maxfree", "safe"):
             wa.MXU_SOFTMAX = mxu
             jax.clear_caches()  # the inner @jax.jit caches ignore the flag
             model = create_model(name, num_classes=1000, dtype=jnp.bfloat16)
@@ -39,7 +39,7 @@ def train_ab():
 
     from cream_tpu.models import create_model
     from cream_tpu.train import TrainState, make_train_step
-    for mxu in (False, True):
+    for mxu in (False, "maxfree", "safe"):
         wa.MXU_SOFTMAX = mxu
         jax.clear_caches()  # the inner @jax.jit caches ignore the flag
         model = create_model("tiny_vit_21m_224", num_classes=1000,
