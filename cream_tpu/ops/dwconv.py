@@ -403,74 +403,13 @@ def _wg_bwd(interpret, res, dy):
 dw_conv3x3_wg.defvjp(_wg_fwd, _wg_bwd)
 
 
-def _wgrad2_kernel(xee_ref, xeo_ref, xoe_ref, xoo_ref, dy_ref, dw_ref):
-    b = pl.program_id(1)
-
-    @pl.when(b == 0)
-    def _init():
-        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
-
-    phases = (xee_ref[0], xeo_ref[0], xoe_ref[0], xoo_ref[0])
-    d = dy_ref[0]
-    Ho, _, C = d.shape
-    taps = [jnp.zeros((1, C), jnp.float32) for _ in range(9)]
-    for r0 in range(0, Ho, _HCHUNK):
-        r1 = min(r0 + _HCHUNK, Ho)
-        dch = d[r0:r1].astype(jnp.float32)
-        for kh in range(3):
-            wvar = _tap_rows(phases, kh, r0, r1)
-            for kw in range(3):
-                taps[3 * kh + kw] = taps[3 * kh + kw] + jnp.sum(
-                    wvar[kw] * dch, axis=(0, 1))[None, :]
-    dw_ref[...] += jnp.concatenate(taps + [jnp.zeros((7, C), jnp.float32)],
-                                   axis=0)
-
-
-def _pallas_wgrad2(x, dy, interpret=False):
-    B, H, W, C = x.shape
-    Ho, Wo = H // 2, W // 2
-    cb = _cblock(Ho, Wo, C)
-    phases = _phase_split(x)
-    dw16 = pl.pallas_call(
-        _wgrad2_kernel,
-        grid=(C // cb, B),
-        in_specs=_phase_specs(B, Ho, Wo, cb, 5),
-        out_specs=pl.BlockSpec((16, cb), lambda c, b: (0, c)),
-        out_shape=jax.ShapeDtypeStruct((16, C), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(*phases, dy)
-    return dw16[:9]
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def dw_conv3x3s2_wg(x: jnp.ndarray, w: jnp.ndarray,
-                    interpret: bool = False) -> jnp.ndarray:
-    """Depthwise 3x3 STRIDE-2 pad-1 conv: XLA fwd + XLA dx, Pallas wgrad."""
-    return _dw2_fwd_raw(x, w)
-
-
-def _wg2_fwd(x, w, interpret):
-    return _dw2_fwd_raw(x, w), (x, w)
-
-
-def _wg2_bwd(interpret, res, dy):
-    x, w = res
-    # dx: XLA's own transpose of the strided conv (input-dilated conv — no
-    # batch contraction), computed alone so the unwanted wgrad conv is DCE'd.
-    _, dx_vjp = jax.vjp(lambda x_: _dw2_fwd_raw(x_, w), x)
-    (dx,) = dx_vjp(dy)
-    if (interpret or _on_tpu()) and supports_fused_s2(x.shape):
-        dw9 = _pallas_wgrad2(x, dy, interpret)
-        dw = dw9.reshape(3, 3, 1, x.shape[-1]).astype(w.dtype)
-    else:
-        _, w_vjp = jax.vjp(lambda w_: _dw2_fwd_raw(x, w_), w)
-        (dw,) = w_vjp(dy)
-    return dx, dw
-
-
-dw_conv3x3s2_wg.defvjp(_wg2_fwd, _wg2_bwd)
+# A stride-2 Pallas-wgrad custom_vjp (dw_conv3x3s2_wg) used to live here; it
+# passed every isolated-shape parity test but FAULTED the TPU worker when
+# compiled into the full TinyViT train step (round 4, reproduced twice).
+# Because a full-graph-only fault could not be minimized (every isolated
+# shape, including the exact PatchMerging shapes, passes) and the stride-1
+# wgrad already loses the full-step A/B, the kernel was EXCISED in round 5.
+# Full record: ISSUES.md #1; bisect evidence: tools/dw_crash_bisect{,2}.py.
 
 
 def dw_conv3x3_auto(x: jnp.ndarray, w: jnp.ndarray,
@@ -677,12 +616,9 @@ def dw_conv3x3s2_auto(x: jnp.ndarray, w: jnp.ndarray,
     if mode is None:
         mode = DEFAULT_DW_VJP
     if _on_tpu() and supports_fused_s2(x.shape):
-        # "wgrad" deliberately NOT routed here: dw_conv3x3s2_wg passes every
-        # isolated-shape test (tools/dw_crash_bisect.py) but CRASHES the TPU
-        # worker ("kernel fault") when compiled into the full TinyViT train
-        # step (round 4, reproduced twice) — and the stride-1 wgrad already
-        # loses the full-step A/B, so there is no speed claim to chase. The
-        # kernel stays available for direct experiments only.
+        # No "wgrad" variant here: the stride-2 Pallas-wgrad kernel faulted
+        # the TPU worker inside the full train graph (isolated shapes all
+        # pass) and was excised in round 5 — see ISSUES.md #1.
         if mode is True:
             return dw_conv3x3s2_fused(x, w)
     return _dw2_fwd_raw(x, w)

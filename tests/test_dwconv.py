@@ -204,36 +204,12 @@ class TestDWConvWgradOnly:
     def test_s1_channel_split(self):
         self._case_s1(2, 56, 56, 384)
 
-    def test_s2(self):
-        from cream_tpu.ops.dwconv import _dw2_fwd_raw, dw_conv3x3s2_wg
-        for (B, H, W, C) in [(2, 8, 12, 8), (2, 28, 28, 192)]:
-            k = jax.random.key(hash((B, H, W, C, 4)) % (2**31))
-            kx, kw, kd = jax.random.split(k, 3)
-            x = jax.random.normal(kx, (B, H, W, C), jnp.float32)
-            w = jax.random.normal(kw, (3, 3, 1, C), jnp.float32)
-            yr = jax.jit(_dw2_fwd_raw)(x, w)
-            dy = jax.random.normal(kd, yr.shape, jnp.float32)
-            wg = lambda a, b: dw_conv3x3s2_wg(a, b, True)
-            np.testing.assert_array_equal(np.asarray(jax.jit(wg)(x, w)),
-                                          np.asarray(yr))
-
-            def loss(fn, x, w):
-                return jnp.sum(fn(x, w) * dy)
-            gx, gw = jax.jit(jax.grad(lambda x, w: loss(wg, x, w),
-                                      argnums=(0, 1)))(x, w)
-            rx, rw = jax.jit(jax.grad(lambda x, w: loss(_dw2_fwd_raw, x, w),
-                                      argnums=(0, 1)))(x, w)
-            np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
-                                       rtol=1e-5, atol=1e-5)
-            np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
-                                       rtol=1e-4, atol=1e-3)
+    # test_s2 (stride-2 Pallas wgrad) removed with the kernel: it passed in
+    # every isolated shape yet the kernel faulted the TPU worker in the full
+    # train graph — excised round 5, see ISSUES.md #1.
 
     def test_tpu_lowering(self):
-        from cream_tpu.ops.dwconv import _pallas_wgrad, _pallas_wgrad2
+        from cream_tpu.ops.dwconv import _pallas_wgrad
         x = jnp.zeros((2, 56, 56, 384), jnp.bfloat16)
         jax.jit(lambda x, d: _pallas_wgrad(x, d)).trace(
             x, x).lower(lowering_platforms=("tpu",))
-        x2 = jnp.zeros((2, 56, 56, 192), jnp.bfloat16)
-        dy2 = jnp.zeros((2, 28, 28, 192), jnp.bfloat16)
-        jax.jit(lambda x, d: _pallas_wgrad2(x, d)).trace(
-            x2, dy2).lower(lowering_platforms=("tpu",))

@@ -37,6 +37,9 @@ if which in ("all", "s1"):
     for s in S1_SHAPES:
         run("s1_wg", dwconv.dw_conv3x3_wg, s)
 if which in ("all", "s2"):
-    for s in S2_SHAPES:
-        run("s2_wg", dwconv.dw_conv3x3s2_wg, s)
+    # dw_conv3x3s2_wg was excised in round 5 (full-graph TPU worker fault,
+    # ISSUES.md #1). Historical record: every shape in S2_SHAPES PASSED this
+    # isolated harness on the same chip that faulted in the full train step.
+    print("s2_wg excised (ISSUES.md #1); isolated shapes all passed when it "
+          "existed", flush=True)
 print("done")
