@@ -166,6 +166,43 @@ def roofline(flops: float, bytes_accessed: float, ips: float, batch: int,
             "pct_of_roofline": round(floor / actual, 4)}
 
 
+def perturb_variables(variables, carry):
+    """Thread a benchmark loop's data-dependency through the PARAMS, not the
+    input.
+
+    The input-add form (`x + carry`) materializes a fresh input tensor every
+    iteration — at M0's bs1024 that broadcast_add is 0.91 ms/step (round-5
+    xplane profile of the python-dispatch harness): pure harness overhead.
+    Adding the carry to param leaves costs ~nothing, but must defeat XLA's
+    while-loop-invariant code motion everywhere: the input-adjacent leaves
+    (patch_embed/stem/conv1/token_embedding) poison everything downstream,
+    keeping the big input-reading convs — whose operands would otherwise
+    all be loop-invariant — inside the loop. The carry value (~1e-12·mean)
+    is absorbed by bf16/fp32 rounding; the dependency is structural, which
+    XLA cannot fold because the carry is dynamic. Measured identical to the
+    input-add harness on M0 (9.57 vs 9.54 ms) and TinyViT (7005 vs 6997
+    img/s) — the scan-mode input-add was already fused/overlapped — but
+    this form keeps profiler attributions clean of harness ops."""
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    first = [jax.tree_util.keystr(p) for p, leaf in flat
+             if hasattr(leaf, "dtype")
+             and jnp.issubdtype(leaf.dtype, jnp.floating)
+             and any(t in jax.tree_util.keystr(p) for t in
+                     ("patch_embed", "conv1", "stem", "token_embedding"))]
+    if not first:  # fallback: every small leaf (more adds, still safe)
+        first = [jax.tree_util.keystr(p) for p, leaf in flat
+                 if hasattr(leaf, "dtype")
+                 and jnp.issubdtype(leaf.dtype, jnp.floating)
+                 and leaf.size <= 16384]
+    picked = set(first)
+
+    def f(path, leaf):
+        if jax.tree_util.keystr(path) in picked:
+            return leaf + carry.astype(leaf.dtype)
+        return leaf
+    return jax.tree_util.tree_map_with_path(f, variables)
+
+
 def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
                      repeats: int = 3, min_window_s: float = 2.0
                      ) -> tuple[float, float]:
@@ -182,11 +219,9 @@ def timed_throughput(apply_fn, variables, x, n_iters: int = 20,
         @jax.jit
         def run(variables, x):
             def body(carry, _):
-                if isinstance(x, (tuple, list)):
-                    outs = apply_fn(variables, *[xi + carry.astype(xi.dtype)
-                                                 for xi in x])
-                else:
-                    outs = apply_fn(variables, x + carry.astype(x.dtype))
+                v = perturb_variables(variables, carry)
+                outs = (apply_fn(v, *x) if isinstance(x, (tuple, list))
+                        else apply_fn(v, x))
                 out = outs[0] if isinstance(outs, (tuple, list)) else outs
                 return (out.astype(jnp.float32).mean() * 1e-12), None
             carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
@@ -259,6 +294,111 @@ def bench_clip_pair(batch: int = 256) -> dict:
            "mfu": round(mfu, 4) if mfu else None}
     rl = roofline(flops, nbytes, ips, batch,
                   min_bytes=tree_bytes(variables) + img.nbytes + txt.nbytes)
+    if rl:
+        out["roofline"] = rl
+    return out
+
+
+def bench_tinyclip_train(batch: int = 256) -> dict:
+    """TinyCLIP distill+L0 training step — the reference's HEADLINE TinyCLIP
+    number is *training* pairs/s (1,469 on V100, TinyCLIP/README.md:28).
+    The step mirrors cli/tinyclip_pipeline.run_stage exactly: student fwd
+    with sampled L0 masks on both towers, frozen-teacher fwd, affinity
+    soft loss + contrastive + lagrangian sparsity terms, dual optimizers
+    (adam on weights, sign-flipped adam ascent on the multipliers)."""
+    import optax
+
+    from cream_tpu.cli.tinyclip_pipeline import tower_l0_cfg
+    from cream_tpu.distill.clip_losses import (clip_contrastive_loss,
+                                               clip_soft_loss)
+    from cream_tpu.distill.l0 import (init_l0_params, lagrangian_loss,
+                                      lambda_sign_mask, sample_masks)
+    from cream_tpu.models import create_model
+
+    model = create_model("tinyclip_vit_39m_16_text_19m", dtype=jnp.bfloat16)
+    cfg = model.cfg
+    img = jax.random.normal(jax.random.key(1), (batch, 224, 224, 3),
+                            jnp.bfloat16)
+    txt = jax.random.randint(jax.random.key(2), (batch, 77), 0, 49408,
+                             jnp.int32)
+    variables = jax.jit(model.init)(jax.random.key(0), img, txt)
+    teacher = variables["params"]
+    cfgs = {"v": tower_l0_cfg(cfg.vision_width, cfg.vision_layers,
+                              cfg.vision_width // 64),
+            "t": tower_l0_cfg(cfg.text_width, cfg.text_layers,
+                              cfg.text_heads)}
+    l0 = {k: init_l0_params(c) for k, c in cfgs.items()}
+    trainable = {"model": variables["params"], "l0": l0}
+    tx = optax.multi_transform(
+        {"model": optax.adam(1e-4), "l0": optax.adam(1e-2)},
+        {"model": "model", "l0": "l0"})
+    opt = tx.init(trainable)
+    sign = {k: lambda_sign_mask(v) for k, v in l0.items()}
+
+    # teacher params (~230MB fp32) and the image batch (~77MB) MUST be
+    # threaded as ARGUMENTS, not python closures: jit embeds closed-over
+    # arrays as HLO constants and the serialized module then exceeds the
+    # axon remote-compile request limit (HTTP 413).
+    def loss_fn(tr, teacher, img, txt, rng, step):
+        masks_v = sample_masks(rng, tr["l0"]["v"], cfgs["v"])
+        masks_t = sample_masks(rng, tr["l0"]["t"], cfgs["t"])
+        img_f, txt_f, scale = model.apply({"params": tr["model"]}, img, txt,
+                                          image_masks=masks_v,
+                                          text_masks=masks_t)
+        t_img, t_txt, t_scale = model.apply({"params": teacher}, img, txt)
+        loss = clip_soft_loss(img_f, txt_f, scale,
+                              jax.lax.stop_gradient(t_img),
+                              jax.lax.stop_gradient(t_txt), t_scale)
+        loss = loss + clip_contrastive_loss(img_f, txt_f, scale)
+        for k in ("v", "t"):
+            lag, _, _ = lagrangian_loss(tr["l0"][k], cfgs[k], 0.25, step, 1000)
+            loss = loss + lag
+        return loss.mean()
+
+    def step_fn(carry, rng, teacher, img, txt):
+        tr, opt, step = carry
+        loss, g = jax.value_and_grad(loss_fn)(tr, teacher, img, txt, rng,
+                                              step)
+        g = {"model": g["model"],
+             "l0": jax.tree_util.tree_map(lambda s, x: s * x, sign, g["l0"])}
+        upd, opt = tx.update(g, opt, tr)
+        return (optax.apply_updates(tr, upd), opt, step + 1), loss
+
+    single = jax.jit(step_fn)
+    carry0 = (trainable, opt, jnp.zeros((), jnp.int32))
+    try:
+        cost = single.lower(carry0, jax.random.key(3), teacher, img,
+                            txt).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        nbytes = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        flops = nbytes = 0.0
+
+    n_iters = 10
+
+    @jax.jit
+    def run(carry, teacher, img, txt):
+        rngs = jax.random.split(jax.random.key(3), n_iters)
+        carry, losses = jax.lax.scan(
+            lambda c, r: step_fn(c, r, teacher, img, txt), carry, rngs)
+        return losses.sum()
+
+    jax.device_get(run(carry0, teacher, img, txt))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(run(carry0, teacher, img, txt))
+        best = min(best, time.perf_counter() - t0)
+    ips = batch * n_iters / best
+    out = {"items_per_s": round(ips, 1), "unit": "pairs/s (train)",
+           "batch": batch}
+    if flops:
+        out["mfu"] = round(ips / batch * flops / chip_peak_flops(), 4)
+    rl = roofline(flops, nbytes, ips, batch,
+                  min_bytes=2 * tree_bytes((trainable, opt))
+                  + img.nbytes + txt.nbytes)
     if rl:
         out["roofline"] = rl
     return out
@@ -443,6 +583,18 @@ def main():
         except Exception as e:
             r = {"error": f"{type(e).__name__}: {e}"}
         models[key] = r
+
+    try:
+        r = bench_tinyclip_train()
+        # the reference's headline TinyCLIP metric is TRAINING pairs/s
+        r["vs_v100"] = round(r["items_per_s"] / REF_V100["tinyclip_39m_pairs"],
+                             3)
+        ev = models.get("tinyclip_39m_pairs", {}).get("items_per_s")
+        if ev and "items_per_s" in r:
+            r["fwd_to_train_ratio"] = round(ev / r["items_per_s"], 2)
+    except Exception as e:
+        r = {"error": f"{type(e).__name__}: {e}"}
+    models["tinyclip_train"] = r
 
     try:
         models["data_pipeline"] = bench_data_pipeline()

@@ -143,13 +143,17 @@ def make_eval(name, batch):
                           jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.key(0), x)
 
-    # carry = the input; each step perturbs it with the (tiny) logits mean so
-    # iterations are data-dependent but the model sees realistic activations
-    def step(x, v):
-        out = model.apply(v, x)
-        return x + out.astype(jnp.float32).mean().astype(x.dtype) * 1e-12
+    # carry = a scalar threaded through the input-adjacent PARAM leaves
+    # (bench.perturb_variables) — the old `x + mean*1e-12` carry materialized
+    # a full input-sized broadcast_add every step (0.91 ms at M0 bs1024,
+    # round-5 profile) and polluted the attribution with a harness op.
+    import bench
 
-    return step, x, (variables,)
+    def step(carry, v, x):
+        out = model.apply(bench.perturb_variables(v, carry), x)
+        return out.astype(jnp.float32).mean() * 1e-12
+
+    return step, jnp.zeros((), jnp.float32), (variables, x)
 
 
 def make_train(name, batch):
