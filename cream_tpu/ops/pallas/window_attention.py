@@ -77,6 +77,29 @@ from jax.experimental.pallas import tpu as pltpu
 # scales, and that "maxfree" really does break there.
 MXU_SOFTMAX: str | bool = False
 
+# Round-5 forward restructure (the M0 CGA-softmax lesson applied in-kernel):
+# of the exact softmax's four VPU passes over the stacked (heads*NP, KP)
+# tile — max-reduce, exp, sum-reduce, divide — only max+exp are kept on the
+# VPU. The row sum becomes ONE stacked MXU dot-with-ones (the MXU is ~idle
+# here anyway) and the divide is deferred to the per-head (N, dv) output
+# tiles with a sublane-aligned (N, 1) broadcast: 49x32 multiplies instead
+# of 168x128 at S3 stage-0. Numerics: the exact per-row max-subtract is
+# RETAINED (no "maxfree" range hazard); exp(s-max) <= 1 so the bf16 P
+# storage and the fp32-accumulated MXU rowsum are as precise as the old
+# divide-then-dot form. Forward-only — the bwd recomputes normalized P
+# with the classic form, which is mathematically identical.
+#
+# Measured (tools/pvfold_ab.py, full models on v5e, best-of-3):
+#   - first form (per-head ones-COLUMN in the PV dot + lane-slice divide):
+#     LOSES — S3-T 4682 vs 4777, TinyViT 6543 vs 7004. The lane-dim concat
+#     and the unaligned o[:, dv:dv+1] slice cost more than the VPU sum.
+#   - this form (one stacked dot-with-ones + aligned deferred divide):
+#     S3-T 4838 vs 4779 (+1.2%), TinyViT 6936 vs 7005 (-1.0%).
+# Verdict is layout/shape-split, so: None = AUTO (on for qkv_major — the
+# Swin/S3 family where it wins — off for head_major); True/False force it
+# everywhere (A/B use).
+PV_FOLD_NORM: bool | None = None
+
 
 def _softmax_rows(s, out_dtype, KP: int, shift=None):
     """Row softmax of a (rows, KP) fp32 tile, MXU-summed.
@@ -129,7 +152,7 @@ def _round_up(a: int, m: int) -> int:
 
 def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             kd: int, dv: int, scale: float, has_mask: bool, has_qb: bool,
-            offs, N: int, NP: int, KP: int):
+            offs, N: int, NP: int, KP: int, pv_fold: bool = False):
     rest = list(rest)
     mask_ref = rest.pop(0) if has_mask else None
     qb_ref = rest.pop(0) if has_qb else None
@@ -167,16 +190,38 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             if _safe_shift():
                 m = jnp.maximum(m, jnp.max(s))
         # one stacked softmax over all heads' scores of this window
-        p = _softmax_rows(sc_ref[:, :], qkv_ref.dtype, KP,
-                          shift=m if _safe_shift() else None)
-        outs = []
-        for h in range(heads):
-            vo = offs[h][2]
-            v = xp[:, vo:vo + dv]                          # (KP, dv)
-            o = jax.lax.dot_general(p[h * NP:h * NP + N, :], v,
-                                    (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            outs.append(o.astype(out_ref.dtype))
+        if pv_fold and not MXU_SOFTMAX:
+            s = sc_ref[:, :]
+            p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            p = p.astype(qkv_ref.dtype)                    # exp<=1: bf16-safe
+            # rowsum of the WHOLE stacked tile as one MXU dot-with-ones
+            # (v1-concat / per-head ones-column form measured SLOWER: the
+            # lane-dim concat + unaligned lane-slice divide cost more than
+            # the VPU sum they replaced — S3 -2%, TinyViT -6.6%).
+            ones = jnp.ones((KP, 128), p.dtype)
+            tot = jax.lax.dot_general(p, ones, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            inv = 1.0 / tot[:, :1]                         # (heads*NP, 1)
+            outs = []
+            for h in range(heads):
+                vo = offs[h][2]
+                v = xp[:, vo:vo + dv]                      # (KP, dv)
+                o = jax.lax.dot_general(p[h * NP:h * NP + N, :], v,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                outs.append((o * inv[h * NP:h * NP + N, :])
+                            .astype(out_ref.dtype))
+        else:
+            p = _softmax_rows(sc_ref[:, :], qkv_ref.dtype, KP,
+                              shift=m if _safe_shift() else None)
+            outs = []
+            for h in range(heads):
+                vo = offs[h][2]
+                v = xp[:, vo:vo + dv]                      # (KP, dv)
+                o = jax.lax.dot_general(p[h * NP:h * NP + N, :], v,
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                outs.append(o.astype(out_ref.dtype))
         o = jnp.concatenate(outs, axis=-1)                 # (N, heads*dv)
         for r in range(ws):
             out_ref[0, r, j * ws:(j + 1) * ws, :] = o[r * ws:(r + 1) * ws, :]
@@ -314,7 +359,7 @@ def _specs(B, H, W, L, window, heads, N, KP, nW, has_mask, has_qb):
 
 
 def _pallas_fwd(statics, qkv, bias_p, mask_p, qb_p):
-    window, heads, kd, dv, layout, interpret = statics
+    window, heads, kd, dv, layout, interpret, pv_fold = statics
     B, H, W, L = qkv.shape
     N = window * window
     nH, nW = H // window, W // window
@@ -326,7 +371,7 @@ def _pallas_fwd(statics, qkv, bias_p, mask_p, qb_p):
                           dv=dv, scale=kd ** -0.5, has_mask=mask_p is not None,
                           has_qb=qb_p is not None,
                           offs=tuple(_offsets(layout, heads, kd, dv)),
-                          N=N, NP=NP, KP=KP),
+                          N=N, NP=NP, KP=KP, pv_fold=pv_fold),
         out_shape=jax.ShapeDtypeStruct((B, H, W, heads * dv), qkv.dtype),
         grid=(B, nH),
         in_specs=_specs(B, H, W, L, window, heads, N, KP, nW,
@@ -351,7 +396,7 @@ def _fwa_fwd(statics, qkv, bias_p, mask_p, qb_p):
 
 def _fwa_bwd(statics, res, dout):
     qkv, bias_p, mask_p, qb_p = res
-    window, heads, kd, dv, layout, interpret = statics
+    window, heads, kd, dv, layout, interpret, _pv_fold = statics
     B, H, W, L = qkv.shape
     N = window * window
     nH, nW = H // window, W // window
@@ -456,5 +501,7 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
     if qkv_bias is not None:
         assert qkv_bias.shape == (L,), (qkv_bias.shape, L)
         qb_p = qkv_bias.astype(qkv.dtype)[None, :]         # (1, L)
-    statics = (window, heads, kd, dv, layout, interpret)
+    pv_fold = PV_FOLD_NORM if PV_FOLD_NORM is not None \
+        else layout == "qkv_major"
+    statics = (window, heads, kd, dv, layout, interpret, pv_fold)
     return _fwa(statics, qkv, bias_p, mask_p, qb_p)

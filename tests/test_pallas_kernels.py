@@ -55,12 +55,18 @@ from cream_tpu.ops.pallas.window_relayout import (window_partition_pallas,
 from cream_tpu.ops.window import window_partition, window_reverse
 
 
-def ref_window_attention(qkv, bias, window, heads, kd, dv):
+def ref_window_attention(qkv, bias, window, heads, kd, dv,
+                         layout="head_major"):
     B, H, W, L = qkv.shape
     w, p = window_partition(qkv, window)
     Wn, N, _ = w.shape
-    w = w.reshape(Wn, N, heads, 2 * kd + dv)
-    q, k, v = jnp.split(w, [kd, 2 * kd], axis=-1)
+    if layout == "qkv_major":
+        assert kd == dv
+        w = w.reshape(Wn, N, 3, heads, kd)
+        q, k, v = w[:, :, 0], w[:, :, 1], w[:, :, 2]
+    else:
+        w = w.reshape(Wn, N, heads, 2 * kd + dv)
+        q, k, v = jnp.split(w, [kd, 2 * kd], axis=-1)
     a = jnp.einsum("bnhk,bmhk->bhnm", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * (kd ** -0.5)
     a = jax.nn.softmax(a + bias[None], axis=-1)
@@ -256,6 +262,36 @@ class TestSoftmaxRangeGuard:
         bad = np.asarray(self._run("maxfree", qkv, bias, ws, heads, kd, dv))
         assert (not np.isfinite(bad).all()
                 or np.abs(bad - want).max() > 1e-2)
+
+    @pytest.mark.parametrize("layout", ["head_major", "qkv_major"])
+    @pytest.mark.parametrize("shift", [+90.0, -120.0])
+    def test_pv_fold_exact_at_extreme_logit_scales(self, layout, shift):
+        # The round-5 PV-fold-norm forward (exp-only VPU softmax, rowsum as
+        # a stacked MXU dot-with-ones, divide deferred to the output tile)
+        # keeps the exact per-row max-subtract, so it must be exact at the
+        # same extreme logit scales as the shipped default. It is the AUTO
+        # default for qkv_major (Swin/S3); force it on for head_major too.
+        import cream_tpu.ops.pallas.window_attention as wa
+        rng = np.random.default_rng(13)
+        B, H, W, ws, heads, kd, dv = 1, 14, 14, 7, 3, 32, 32
+        L = heads * (2 * kd + dv)
+        qkv = jnp.asarray(rng.standard_normal((B, H, W, L)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((heads, ws * ws, ws * ws))
+                           + shift, jnp.float32)
+        want = np.asarray(ref_window_attention(qkv, bias, ws, heads, kd, dv,
+                                               layout=layout))
+        old = wa.PV_FOLD_NORM
+        wa.PV_FOLD_NORM = True
+        try:
+            jax.clear_caches()
+            got = np.asarray(fused_window_attention(
+                qkv, bias, window=ws, heads=heads, kd=kd, dv=dv,
+                layout=layout, interpret=True))
+        finally:
+            wa.PV_FOLD_NORM = old
+            jax.clear_caches()
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
     def test_safe_grads_finite_at_large_scale(self):
         rng = np.random.default_rng(12)

@@ -211,6 +211,16 @@ def build(name, variant):
             N=N, NP=NP, KP=KP,
             stack_windows="stack" in variant, mxu_sum="mxu" in variant)
         scratch_rows = nW * heads * NP
+    elif variant in ("ship", "ship_nofold"):
+        # the REAL module kernel, with/without the round-5 PV-fold-norm
+        # forward (exp-only softmax, rowsum in the PV dot's ones-column)
+        from cream_tpu.ops.pallas import window_attention as wa
+        kern = functools.partial(
+            wa._kernel, ws=window, n_win=nW, heads=heads, kd=kd, dv=dv,
+            scale=kd ** -0.5, has_mask=False, has_qb=False,
+            offs=tuple(_offsets(layout, heads, kd, dv)),
+            N=N, NP=NP, KP=KP, pv_fold=variant == "ship")
+        scratch_rows = heads * NP
     else:
         kern = functools.partial(
             _kernel_abl, ws=window, n_win=nW, heads=heads, kd=kd, dv=dv,
