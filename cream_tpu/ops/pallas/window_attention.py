@@ -100,6 +100,27 @@ MXU_SOFTMAX: str | bool = False
 # everywhere (A/B use).
 PV_FOLD_NORM: bool | None = None
 
+# Round-5 backward counterpart: the bwd kernel's two VPU lane-reduces per
+# stacked tile — the softmax-recompute row sum and the dS rowsum(dP*P) —
+# move to MXU dot-with-ones (exact per-row max and the divides stay on the
+# VPU; only the SUMS move). Unlike the fwd, the divide cannot be deferred:
+# normalized P is consumed by dV = P^T dO and dS.
+#
+# VERDICT (measured, tools/bwdsum_ab.py full train steps on v5e): LOSES on
+# both families — S3-T 1305.5 vs 1337.2 img/s (-2.4%), TinyViT 1667.7 vs
+# 1707.4 (-2.3%). Unlike the fwd's bf16 P (full-rate MXU), the bwd tiles
+# are fp32: the fp32 dot-with-ones runs at ~1/8 MXU rate, and dP*P — which
+# the VPU reduce consumed fused — must materialize as an fp32 operand tile
+# for the dot. Gated off; kept as the recorded experiment.
+BWD_MXU_SUM: bool = False
+
+
+def _rowsum_mxu(t, KP: int):
+    ones = jnp.ones((KP, 128), t.dtype)
+    tot = jax.lax.dot_general(t, ones, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return tot[:, :1]
+
 
 def _softmax_rows(s, out_dtype, KP: int, shift=None):
     """Row softmax of a (rows, KP) fp32 tile, MXU-summed.
@@ -128,7 +149,7 @@ def _safe_shift():
 def _rowsum(t, KP: int):
     """Row sum of a (rows, KP) fp32 tile as (rows, 1); MXU dot-with-ones
     under MXU_SOFTMAX (same reduce-vs-MXU economics as _softmax_rows)."""
-    if MXU_SOFTMAX:
+    if MXU_SOFTMAX or BWD_MXU_SUM:
         ones = jnp.ones((KP, 128), jnp.float32)
         tot = jax.lax.dot_general(t, ones, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
@@ -287,8 +308,14 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
                 m = jnp.maximum(m, jnp.max(s))
         for c in range(0, heads, hc):
             r0, r1 = c * NP, min(c + hc, heads) * NP
-            p_sc[r0:r1, :] = _softmax_rows(p_sc[r0:r1, :], jnp.float32, KP,
-                                           shift=m if _safe_shift() else None)
+            if BWD_MXU_SUM and not MXU_SOFTMAX:
+                s = p_sc[r0:r1, :]
+                pu = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+                p_sc[r0:r1, :] = pu * (1.0 / _rowsum_mxu(pu, KP))
+            else:
+                p_sc[r0:r1, :] = _softmax_rows(
+                    p_sc[r0:r1, :], jnp.float32, KP,
+                    shift=m if _safe_shift() else None)
         # vjp: dP = dO V^T; dS = P*(dP - rowsum(dP*P)); dQ = dS K;
         # dK = dS^T Q; dV = P^T dO.
         if stacked:
