@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -114,6 +116,20 @@ PV_FOLD_NORM: bool | None = None
 # for the dot. Gated off; kept as the recorded experiment.
 BWD_MXU_SUM: bool = False
 
+# Round-5 window PACKING: at window-7 stages the (N, KP) score tiles are
+# 49 real keys in 128 lanes — 62% lane padding — and the per-window loop
+# issues 2*heads tiny dots + ws slice-writes per 49-token window; wa_micro
+# shows the kernel is reduce- and issue-bound, not FLOP-bound. Packing
+# G=2 adjacent windows per iteration fills 98 of 128 lanes, halves the
+# dot/softmax-pass/write issue count, and trims the per-head pad rows
+# (NP 2x56 -> 104). Cross-window attention terms are killed by -1e9 in a
+# host-precomputed PAIRED bias table (same mechanism as the key padding),
+# so the math is exactly the per-window softmax. Applies when nW is even
+# and 2N fits the same padded lane count (N<=64); stage-3 7x7 grids and
+# window-14 stages fall back to G=1. None = auto (pack when it fits),
+# 1 / 2 force. Measured on v5e: see ROOFLINE.md S3 section.
+WIN_PACK: int | None = None
+
 
 def _rowsum_mxu(t, KP: int):
     ones = jnp.ones((KP, 128), t.dtype)
@@ -171,9 +187,10 @@ def _round_up(a: int, m: int) -> int:
     return -(-a // m) * m
 
 
-def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
-            kd: int, dv: int, scale: float, has_mask: bool, has_qb: bool,
-            offs, N: int, NP: int, KP: int, pv_fold: bool = False):
+def _kernel(qkv_ref, bias_ref, *rest, ws: int, ww: int, n_win: int,
+            heads: int, kd: int, dv: int, scale: float, has_mask: bool,
+            has_qb: bool, offs, N: int, NP: int, KP: int,
+            pv_fold: bool = False):
     rest = list(rest)
     mask_ref = rest.pop(0) if has_mask else None
     qb_ref = rest.pop(0) if has_qb else None
@@ -183,7 +200,7 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
         # (ws, ws, L) -> (N, L): Mosaic can't shape-cast a sublane-dim merge,
         # so stack the window's rows along sublanes explicitly; then append
         # KP-N zero rows so k/v slices are already key-padded.
-        rows = [qkv_ref[0, r, j * ws:(j + 1) * ws, :] for r in range(ws)]
+        rows = [qkv_ref[0, r, j * ww:(j + 1) * ww, :] for r in range(ws)]
         if KP > N:
             rows.append(jnp.zeros((KP - N, L), qkv_ref.dtype))
         xp = jnp.concatenate(rows, axis=0)                # (KP, L)
@@ -245,13 +262,13 @@ def _kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
                 outs.append(o.astype(out_ref.dtype))
         o = jnp.concatenate(outs, axis=-1)                 # (N, heads*dv)
         for r in range(ws):
-            out_ref[0, r, j * ws:(j + 1) * ws, :] = o[r * ws:(r + 1) * ws, :]
+            out_ref[0, r, j * ww:(j + 1) * ww, :] = o[r * ww:(r + 1) * ww, :]
 
 
-def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
-                kd: int, dv: int, scale: float, has_mask: bool, has_qb: bool,
-                offs, N: int, NP: int, KP: int, layout: str, hc: int,
-                stacked: bool):
+def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, ww: int, n_win: int,
+                heads: int, kd: int, dv: int, scale: float, has_mask: bool,
+                has_qb: bool, offs, N: int, NP: int, KP: int, layout: str,
+                hc: int, stacked: bool):
     """Backward of `_kernel`: recompute-P flash-style (windows are tiny, so
     a full recompute is one extra (N, KP) matmul per head), then the standard
     softmax-attention vjp. All heads' P tiles live stacked in a fp32 VMEM
@@ -283,13 +300,13 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
     for j in range(n_win):
-        rows = [qkv_ref[0, r, j * ws:(j + 1) * ws, :] for r in range(ws)]
+        rows = [qkv_ref[0, r, j * ww:(j + 1) * ww, :] for r in range(ws)]
         if KP > N:
             rows.append(jnp.zeros((KP - N, L), qkv_ref.dtype))
         xp = jnp.concatenate(rows, axis=0)                 # (KP, L)
         if has_qb:
             xp = xp + qb_ref[0:1, :].astype(xp.dtype)      # same fold as fwd
-        do = jnp.concatenate([dout_ref[0, r, j * ws:(j + 1) * ws, :]
+        do = jnp.concatenate([dout_ref[0, r, j * ww:(j + 1) * ww, :]
                               for r in range(ws)], axis=0)  # (N, heads*dv)
         # recompute scores, stacked softmax (same trick + same shift as fwd,
         # so the recomputed P is bit-identical to the forward's)
@@ -365,8 +382,8 @@ def _bwd_kernel(qkv_ref, bias_ref, *rest, ws: int, n_win: int, heads: int,
             cols = dqs + dks + dvs
         dxp = jnp.concatenate(cols, axis=-1).astype(dqkv_ref.dtype)  # (N, L)
         for r in range(ws):
-            dqkv_ref[0, r, j * ws:(j + 1) * ws, :] = \
-                dxp[r * ws:(r + 1) * ws, :]
+            dqkv_ref[0, r, j * ww:(j + 1) * ww, :] = \
+                dxp[r * ww:(r + 1) * ww, :]
 
 
 def _specs(B, H, W, L, window, heads, N, KP, nW, has_mask, has_qb):
@@ -386,22 +403,24 @@ def _specs(B, H, W, L, window, heads, N, KP, nW, has_mask, has_qb):
 
 
 def _pallas_fwd(statics, qkv, bias_p, mask_p, qb_p):
-    window, heads, kd, dv, layout, interpret, pv_fold = statics
+    window, heads, kd, dv, layout, interpret, pv_fold, G = statics
     B, H, W, L = qkv.shape
-    N = window * window
+    N = G * window * window          # tokens per iteration (G windows)
     nH, nW = H // window, W // window
+    n_it = nW // G
     NP, KP = _round_up(N, 8), _round_up(N, 128)
     args = [qkv, bias_p] + ([] if mask_p is None else [mask_p]) \
         + ([] if qb_p is None else [qb_p])
     return pl.pallas_call(
-        functools.partial(_kernel, ws=window, n_win=nW, heads=heads, kd=kd,
+        functools.partial(_kernel, ws=window, ww=G * window, n_win=n_it,
+                          heads=heads, kd=kd,
                           dv=dv, scale=kd ** -0.5, has_mask=mask_p is not None,
                           has_qb=qb_p is not None,
                           offs=tuple(_offsets(layout, heads, kd, dv)),
                           N=N, NP=NP, KP=KP, pv_fold=pv_fold),
         out_shape=jax.ShapeDtypeStruct((B, H, W, heads * dv), qkv.dtype),
         grid=(B, nH),
-        in_specs=_specs(B, H, W, L, window, heads, N, KP, nW,
+        in_specs=_specs(B, H, W, L, window, heads, N, KP, n_it,
                         mask_p is not None, qb_p is not None),
         out_specs=pl.BlockSpec((1, window, W, heads * dv),
                                lambda b, i: (b, i, 0, 0),
@@ -423,14 +442,16 @@ def _fwa_fwd(statics, qkv, bias_p, mask_p, qb_p):
 
 def _fwa_bwd(statics, res, dout):
     qkv, bias_p, mask_p, qb_p = res
-    window, heads, kd, dv, layout, interpret, _pv_fold = statics
+    window, heads, kd, dv, layout, interpret, _pv_fold, G = statics
     B, H, W, L = qkv.shape
-    N = window * window
+    N = G * window * window          # tokens per iteration (G windows)
     nH, nW = H // window, W // window
+    n_it = nW // G
     NP, KP = _round_up(N, 8), _round_up(N, 128)
     has_mask = mask_p is not None
     has_qb = qb_p is not None
-    in_specs = _specs(B, H, W, L, window, heads, N, KP, nW, has_mask, has_qb)
+    in_specs = _specs(B, H, W, L, window, heads, N, KP, n_it, has_mask,
+                      has_qb)
     in_specs.append(pl.BlockSpec((1, window, W, heads * dv),
                                  lambda b, i: (b, i, 0, 0),
                                  memory_space=pltpu.VMEM))
@@ -443,7 +464,8 @@ def _fwa_bwd(statics, res, dout):
     # budget (see _bwd_kernel docstring for the measured tradeoff)
     stacked = heads * NP * KP * 4 <= 2_500_000
     dqkv, dbias_st = pl.pallas_call(
-        functools.partial(_bwd_kernel, ws=window, n_win=nW, heads=heads,
+        functools.partial(_bwd_kernel, ws=window, ww=G * window,
+                          n_win=n_it, heads=heads,
                           kd=kd, dv=dv, scale=kd ** -0.5, has_mask=has_mask,
                           has_qb=has_qb,
                           offs=tuple(_offsets(layout, heads, kd, dv)),
@@ -514,21 +536,53 @@ def fused_window_attention(qkv: jnp.ndarray, bias: jnp.ndarray,
     N = window * window
     assert bias.shape == (heads, N, N), (bias.shape, heads, N)
     nH, nW = H // window, W // window
-    KP = _round_up(N, 128)      # key rows padded to a lane multiple
+    can2 = nW % 2 == 0 and _round_up(2 * N, 128) == _round_up(N, 128)
+    if WIN_PACK is None:
+        G = 2 if can2 else 1
+    else:
+        G = 2 if (WIN_PACK == 2 and can2) else 1
+    NN = G * N                       # tokens per kernel iteration
+    KP = _round_up(NN, 128)     # key rows padded to a lane multiple
 
-    # padded keys get -1e9 bias so their softmax weight is exactly 0
-    bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, 0), (0, KP - N)),
-                     constant_values=-1e9)
-    mask_p = None
-    if mask is not None:
-        assert mask.shape == (nH * nW, N, N), (mask.shape, nH, nW, N)
-        mask_p = jnp.pad(mask.astype(jnp.float32),
-                         ((0, 0), (0, 0), (0, KP - N)))
+    if G == 2:
+        # PAIRED bias: kernel iteration j covers windows (2j, 2j+1) side by
+        # side; token i = r*2ws + w (w < 2ws spans both windows). Gather the
+        # per-window bias into that order and put -1e9 on every cross-window
+        # entry — exactly the padded-key mechanism, so each window's softmax
+        # is untouched. The gather is jnp (differentiable: TinyViT's bias
+        # tables are learnable); for host-constant tables XLA folds it.
+        wq = np.arange(2 * window)
+        tok = (np.arange(window)[:, None] * window
+               + (wq[None, :] % window)).reshape(NN)   # local id in window
+        wid = np.tile(wq // window, window)             # which of the pair
+        same = jnp.asarray(wid[:, None] == wid[None, :])
+        bias2 = jnp.where(
+            same, bias.astype(jnp.float32)[:, tok[:, None], tok[None, :]],
+            -1e9)
+        bias_p = jnp.pad(bias2, ((0, 0), (0, 0), (0, KP - NN)),
+                         constant_values=-1e9)
+        mask_p = None
+        if mask is not None:
+            assert mask.shape == (nH * nW, N, N), (mask.shape, nH, nW, N)
+            m5 = mask.astype(jnp.float32).reshape(nH, nW // 2, 2, N, N)
+            pm = m5[:, :, wid[:, None], tok[:, None], tok[None, :]]
+            pm = jnp.where(same, pm, 0.0)   # cross-window already -1e9 biased
+            mask_p = jnp.pad(pm.reshape(nH * nW // 2, NN, NN),
+                             ((0, 0), (0, 0), (0, KP - NN)))
+    else:
+        # padded keys get -1e9 bias so their softmax weight is exactly 0
+        bias_p = jnp.pad(bias.astype(jnp.float32),
+                         ((0, 0), (0, 0), (0, KP - N)), constant_values=-1e9)
+        mask_p = None
+        if mask is not None:
+            assert mask.shape == (nH * nW, N, N), (mask.shape, nH, nW, N)
+            mask_p = jnp.pad(mask.astype(jnp.float32),
+                             ((0, 0), (0, 0), (0, KP - N)))
     qb_p = None
     if qkv_bias is not None:
         assert qkv_bias.shape == (L,), (qkv_bias.shape, L)
         qb_p = qkv_bias.astype(qkv.dtype)[None, :]         # (1, L)
     pv_fold = PV_FOLD_NORM if PV_FOLD_NORM is not None \
         else layout == "qkv_major"
-    statics = (window, heads, kd, dv, layout, interpret, pv_fold)
+    statics = (window, heads, kd, dv, layout, interpret, pv_fold, G)
     return _fwa(statics, qkv, bias_p, mask_p, qb_p)

@@ -216,8 +216,8 @@ def build(name, variant):
         # forward (exp-only softmax, rowsum in the PV dot's ones-column)
         from cream_tpu.ops.pallas import window_attention as wa
         kern = functools.partial(
-            wa._kernel, ws=window, n_win=nW, heads=heads, kd=kd, dv=dv,
-            scale=kd ** -0.5, has_mask=False, has_qb=False,
+            wa._kernel, ws=window, ww=window, n_win=nW, heads=heads, kd=kd,
+            dv=dv, scale=kd ** -0.5, has_mask=False, has_qb=False,
             offs=tuple(_offsets(layout, heads, kd, dv)),
             N=N, NP=NP, KP=KP, pv_fold=variant == "ship")
         scratch_rows = heads * NP
