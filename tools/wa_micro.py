@@ -56,8 +56,11 @@ def _kernel_abl(qkv_ref, bias_ref, out_ref, sc_ref, *, ws, n_win, heads, kd,
         for h in range(heads):
             qo, ko, vo = offs[h]
             if skip_dots:
+                # fake scores that still data-depend on xp (f32 scalar cast:
+                # Mosaic can't scalarize a bf16 element directly)
                 s = xp[:N, ko:ko + KP] if L >= ko + KP else \
-                    jnp.zeros((N, KP), jnp.float32) + xp[0, 0]
+                    jnp.zeros((N, KP), jnp.float32) \
+                    + xp[0:1, 0:1].astype(jnp.float32)
                 s = s.astype(jnp.float32)
             else:
                 q = xp[:N, qo:qo + kd]
