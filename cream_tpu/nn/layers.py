@@ -48,6 +48,34 @@ class _DWConv3x3(nn.Module):
                   mode=self.mode)
 
 
+# Route stride-s 1x1 groups=1 convs through an explicit channel dot
+# (x[::s, ::s] @ W) instead of nn.Conv/conv_general_dilated. Hypothesis under
+# test: XLA's TPU conv emitters impose batch-minor operand layouts (the
+# round-4/5 "layout copies" buckets: M0 2.22 of 7.45 ms, TinyViT train
+# 8.8 of 147 ms) even on pointwise convs, while a dot_general lets the
+# row-major layout propagate. Param tree is IDENTICAL to the nn.Conv path
+# (submodule "conv", kernel (1,1,C,F), lecun_normal), so checkpoints and
+# oracles are unaffected by the flag. A/B: tools/c11_ab.py.
+DEFAULT_CONV1X1_DOT = False
+
+
+class _Conv1x1Dot(nn.Module):
+    """Pointwise conv as einsum('bhwc,cf->bhwf'); stride via input slicing
+    (valid because ConvBN 1x1 sites always use padding=0)."""
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, x.shape[-1], self.features), jnp.float32)
+        if self.stride > 1:
+            x = x[:, ::self.stride, ::self.stride, :]
+        return jnp.einsum("bhwc,cf->bhwf", x.astype(self.dtype),
+                          kernel[0, 0].astype(self.dtype))
+
+
 class MXUBatchNorm(nn.Module):
     """Train-mode BatchNorm, variable-tree-identical to flax nn.BatchNorm
     (params scale/bias, batch_stats mean/var, same momentum/eps semantics)
@@ -96,6 +124,7 @@ class ConvBN(nn.Module):
     groups: int = 1
     bn_weight_init: float = 1.0
     dw_vjp: Any = None
+    conv1x1_dot: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -103,11 +132,16 @@ class ConvBN(nn.Module):
         from cream_tpu.ops.dwconv import default_dw_vjp, is_dw3x3_any
         k = self.kernel_size
         use_dw = default_dw_vjp() if self.dw_vjp is None else self.dw_vjp
+        use_dot = (DEFAULT_CONV1X1_DOT if self.conv1x1_dot is None
+                   else self.conv1x1_dot)
         if (use_dw and x.shape[-1] == self.features
                 and is_dw3x3_any(k, self.stride, self.padding, self.groups,
                                  self.features)):
             x = _DWConv3x3(self.features, stride=self.stride, mode=use_dw,
                            dtype=self.dtype, name="conv")(x)
+        elif use_dot and k == 1 and self.groups == 1 and self.padding == 0:
+            x = _Conv1x1Dot(self.features, stride=self.stride,
+                            dtype=self.dtype, name="conv")(x)
         else:
             x = nn.Conv(self.features, (k, k),
                         strides=(self.stride, self.stride),

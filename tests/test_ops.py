@@ -92,3 +92,46 @@ class TestFuse:
         fk, fb = fold_bn_linear(kernel, bias, gamma, beta, mean, var)
         y_fused = x @ fk + fb
         np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref), atol=1e-4)
+
+
+class TestConv1x1Dot:
+    """The gated 1x1-as-dot ConvBN path (nn/layers.py DEFAULT_CONV1X1_DOT)
+    must be a drop-in for the nn.Conv path: identical param tree, matching
+    outputs at stride 1 and 2, and a working train-mode gradient."""
+
+    def _pair(self, stride):
+        from cream_tpu.nn.layers import ConvBN
+        conv = ConvBN(12, kernel_size=1, stride=stride, conv1x1_dot=False)
+        dot = ConvBN(12, kernel_size=1, stride=stride, conv1x1_dot=True)
+        return conv, dot
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_parity_and_param_tree(self, stride):
+        conv, dot = self._pair(stride)
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 6))
+        vc = conv.init(jax.random.key(1), x)
+        vd = dot.init(jax.random.key(1), x)
+        assert jax.tree_util.tree_structure(vc) == jax.tree_util.tree_structure(vd)
+        assert (vc["params"]["conv"]["kernel"].shape
+                == vd["params"]["conv"]["kernel"].shape == (1, 1, 6, 12))
+        y_conv = conv.apply(vc, x)
+        y_dot = dot.apply(vc, x)  # SAME variables through both paths
+        np.testing.assert_allclose(np.asarray(y_dot), np.asarray(y_conv),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_train_grads_match(self):
+        conv, dot = self._pair(1)
+        x = jax.random.normal(jax.random.key(2), (2, 8, 8, 6))
+        v = conv.init(jax.random.key(3), x)
+
+        def loss(params, mod):
+            y, _ = mod.apply({"params": params,
+                              "batch_stats": v["batch_stats"]}, x,
+                             train=True, mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+
+        gc = jax.grad(loss)(v["params"], conv)
+        gd = jax.grad(loss)(v["params"], dot)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4), gc, gd)
